@@ -1,0 +1,241 @@
+"""Encodings and MLP stacks as Flax linen modules.
+
+Parity surface: reference `threestudio/models/networks.py` —
+`get_encoding` (ProgressiveBandFrequency / HashGrid / ProgressiveBandHashGrid
+/ CompositeEncoding include_xyz, :16-211) and `get_mlp`
+(VanillaMLP bias-free ReLU, SphereInitVanillaMLP weight-norm geometric init
+with softplus(beta=100), :213-349). The TCNN fused-CUDA variants (`FullyFusedMLP`)
+map to plain linen MLPs — on TPU, XLA fuses the 64-wide matmul chain onto the
+MXU without a hand-written kernel.
+
+Progressive band masks are *traced inputs* (computed host-side per step via
+`hashgrid.progressive_level_mask` / `frequency_mask`) so annealing never
+retraces the jitted step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hashgrid import (HashGridConfig, hashgrid_config_from_tcnn,
+                       hashgrid_encode, init_hashgrid)
+from .math import get_activation
+
+
+# --------------------------------------------------------------------------
+# Encodings
+# --------------------------------------------------------------------------
+class FrequencyEncoding(nn.Module):
+    """sin/cos bands, optional progressive mask (networks.py:16-52)."""
+    n_input_dims: int
+    n_frequencies: int
+    n_masking_step: int = 0
+
+    @property
+    def n_output_dims(self):
+        return self.n_input_dims * 2 * self.n_frequencies
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None):
+        freqs = 2.0 ** jnp.arange(self.n_frequencies, dtype=jnp.float32)
+        if mask is None:
+            mask = jnp.ones(self.n_frequencies, dtype=jnp.float32)
+        out = []
+        for i in range(self.n_frequencies):
+            out.append(jnp.sin(freqs[i] * x) * mask[i])
+            out.append(jnp.cos(freqs[i] * x) * mask[i])
+        return jnp.concatenate(out, axis=-1)
+
+
+def frequency_mask(n_frequencies: int, n_masking_step: int,
+                   global_step: int) -> np.ndarray:
+    """Host-side cosine-eased progressive frequency mask (networks.py:35-51)."""
+    if n_masking_step <= 0 or global_step is None:
+        return np.ones(n_frequencies, dtype=np.float32)
+    ptr = global_step / n_masking_step * n_frequencies - np.arange(n_frequencies)
+    return ((1.0 - np.cos(np.pi * np.clip(ptr, 0, 1))) / 2.0).astype(np.float32)
+
+
+class HashGridEncoding(nn.Module):
+    """Learned multires hash grid; table is a linen param (ops/hashgrid.py)."""
+    grid: HashGridConfig
+    param_dtype: Any = jnp.float32
+
+    @property
+    def n_output_dims(self):
+        return self.grid.n_output_dims
+
+    @nn.compact
+    def __call__(self, x, level_mask: Optional[jnp.ndarray] = None):
+        table = self.param(
+            "table", lambda key: init_hashgrid(key, self.grid, self.param_dtype))
+        return hashgrid_encode(table, x, self.grid, level_mask)
+
+
+class CompositeEncoding(nn.Module):
+    """Optionally prepend affine-rescaled raw xyz (networks.py:169-191)."""
+    encoding: nn.Module
+    include_xyz: bool = False
+    xyz_scale: float = 2.0
+    xyz_offset: float = -1.0
+    n_input_dims: int = 3
+
+    @property
+    def n_output_dims(self):
+        return (int(self.include_xyz) * self.n_input_dims
+                + self.encoding.n_output_dims)
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        enc = self.encoding(x, *args, **kwargs)
+        if not self.include_xyz:
+            return enc
+        return jnp.concatenate(
+            [x * self.xyz_scale + self.xyz_offset, enc], axis=-1)
+
+
+def get_encoding(n_input_dims: int, config: dict) -> CompositeEncoding:
+    """Factory honoring the reference's `otype` config surface
+    (networks.py:192-210). Input assumed in [0,1]."""
+    otype = config.get("otype", "HashGrid")
+    if otype == "ProgressiveBandFrequency":
+        enc = FrequencyEncoding(
+            n_input_dims=n_input_dims,
+            n_frequencies=config.get("n_frequencies", 6),
+            n_masking_step=config.get("n_masking_step", 0),
+        )
+    elif otype in ("HashGrid", "ProgressiveBandHashGrid"):
+        enc = HashGridEncoding(grid=hashgrid_config_from_tcnn(config, n_input_dims))
+    else:
+        raise ValueError(f"Unknown encoding otype: {otype}")
+    return CompositeEncoding(
+        encoding=enc,
+        include_xyz=config.get("include_xyz", False),
+        xyz_scale=2.0,
+        xyz_offset=-1.0,
+        n_input_dims=n_input_dims,
+    )
+
+
+# --------------------------------------------------------------------------
+# MLPs
+# --------------------------------------------------------------------------
+class VanillaMLP(nn.Module):
+    """Bias-free ReLU MLP (networks.py:213-249). fp32 params; compute dtype
+    bf16-safe since widths are small."""
+    dim_out: int
+    n_neurons: int = 64
+    n_hidden_layers: int = 1
+    output_activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for _ in range(self.n_hidden_layers):
+            x = nn.Dense(self.n_neurons, use_bias=False)(x)
+            x = jax.nn.relu(x)
+        x = nn.Dense(self.dim_out, use_bias=False)(x)
+        return get_activation(self.output_activation)(x)
+
+
+def _softplus100(x):
+    # Softplus(beta=100): numerically = relu for |x| >~ 0.1 but smooth at 0
+    return jax.nn.softplus(100.0 * x) / 100.0
+
+
+class WNDense(nn.Module):
+    """Weight-normalized Dense with custom direction init.
+
+    weight = g * v / ||v||_row ; g initialized to ||v||_row so the effective
+    weight at init equals v (torch weight_norm semantics).
+    """
+    features: int
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        dim_in = x.shape[-1]
+        v = self.param("v", self.kernel_init, (dim_in, self.features))
+        g = self.param("g", lambda key, shape: jnp.linalg.norm(v, axis=0),
+                       (self.features,))
+        b = self.param("b", self._bias_init, (self.features,))
+        norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+        w = v * (g[None, :] / jnp.maximum(norm, 1e-12))
+        return x @ w + b
+
+    def _bias_init(self, key, shape):
+        return jnp.zeros(shape, jnp.float32)
+
+
+class SphereInitVanillaMLP(nn.Module):
+    """Geometric (sphere) initialization SDF MLP (networks.py:253-323):
+    weight-normalized Dense layers, softplus(beta=100) activation, output
+    biased to an SDF of a sphere with `sphere_init_radius`.
+
+    Assumes the input layout [xyz(3), extra encodings...] — the first layer
+    zeros the encoding columns, as in the reference (composite include_xyz).
+    """
+    dim_out: int
+    n_neurons: int = 64
+    n_hidden_layers: int = 1
+    sphere_init_radius: float = 0.5
+    inside_out: bool = False
+    output_activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        def first_init(key, shape):
+            dim_in, dim_out = shape
+            w = jnp.zeros(shape, jnp.float32)
+            sub = jax.random.normal(key, (3, dim_out)) * (
+                math.sqrt(2) / math.sqrt(dim_out))
+            return w.at[:3, :].set(sub)
+
+        def mid_init(key, shape):
+            return jax.random.normal(key, shape) * (
+                math.sqrt(2) / math.sqrt(shape[1]))
+
+        sign = -1.0 if self.inside_out else 1.0
+
+        def last_init(key, shape):
+            mean = sign * math.sqrt(math.pi) / math.sqrt(shape[0])
+            return mean + 1e-4 * jax.random.normal(key, shape)
+
+        h = x
+        for i in range(self.n_hidden_layers):
+            init = first_init if i == 0 else mid_init
+            h = WNDense(features=self.n_neurons, kernel_init=init)(h)
+            h = _softplus100(h)
+
+        last = WNDense(features=self.dim_out, kernel_init=last_init,
+                       name=f"layers_{self.n_hidden_layers}")
+        out = last(h) + (-sign * self.sphere_init_radius)
+        return get_activation(self.output_activation)(out)
+
+
+def get_mlp(n_output_dims: int, config: dict) -> nn.Module:
+    """Factory honoring reference `get_mlp` otypes (networks.py:336-349);
+    TCNN 'FullyFusedMLP' maps to VanillaMLP (XLA fuses it on the MXU)."""
+    otype = config.get("otype", "VanillaMLP")
+    if otype == "SphereInitVanillaMLP":
+        return SphereInitVanillaMLP(
+            dim_out=n_output_dims,
+            n_neurons=config.get("n_neurons", 64),
+            n_hidden_layers=config.get("n_hidden_layers", 1),
+            sphere_init_radius=config.get("sphere_init_radius", 0.5),
+            inside_out=config.get("inside_out", False),
+            output_activation=config.get("output_activation"),
+        )
+    if otype in ("VanillaMLP", "FullyFusedMLP", "CutlassMLP"):
+        return VanillaMLP(
+            dim_out=n_output_dims,
+            n_neurons=config.get("n_neurons", 64),
+            n_hidden_layers=config.get("n_hidden_layers", 1),
+            output_activation=config.get("output_activation"),
+        )
+    raise ValueError(f"Unknown MLP otype: {otype}")

@@ -1,0 +1,188 @@
+"""Dense fixed-shape volume rendering ops — the NerfAcc (CUDA) replacement.
+
+Parity targets (SURVEY.md §2.3 N2):
+- `ImportanceEstimator.sampling` (reference threestudio/models/estimators.py:22-120):
+  uniform init → proposal density eval → transmittance → inverse-CDF resample
+  → merge + sort. Here everything is dense `[n_rays, n_samples]`, XLA-native
+  (sort / searchsorted / cumsum lower to efficient TPU code), and runs *inside*
+  the jitted step — no host round-trip, no ragged `ray_indices` streams.
+- `render_weight_from_density/alpha`, `accumulate_along_rays`
+  (nerfacc.volrend): exclusive-cumprod transmittance over the sample axis.
+- `volsdf_density` and the NeuS logistic-CDF alpha
+  (neus_volume_renderer.py:19-23,93-117).
+
+Design note: TPU strongly prefers the dense layout — each ray has a static
+sample count and masked contributions, so the whole render is one fused XLA
+program feeding the MXU-heavy geometry MLPs with `[R*S, C]` batches.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_pdf(svals: jnp.ndarray, cdfs: jnp.ndarray, n_samples: int,
+               rng: Optional[jax.Array], stratified: bool) -> jnp.ndarray:
+    """Inverse-CDF sample `n_samples+1` new s-values per ray.
+
+    svals: [R, M] monotonically increasing support points;
+    cdfs:  [R, M] CDF values at those points (0 at first, 1 at last).
+    Returns [R, n_samples+1] s-values (interval endpoints).
+    """
+    R, M = svals.shape
+    n = n_samples + 1
+    if stratified and rng is not None:
+        u = (jnp.arange(n, dtype=jnp.float32)[None, :]
+             + jax.random.uniform(rng, (R, n))) / n
+        u = jnp.sort(u, axis=-1) * (1.0 - 1e-4)
+    else:
+        u = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0 - 1e-4, n, dtype=jnp.float32)[None, :], (R, n))
+    # searchsorted per ray: index of first cdf >= u
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdfs, u)
+    below = jnp.clip(inds - 1, 0, M - 1)
+    above = jnp.clip(inds, 0, M - 1)
+    cdf_b = jnp.take_along_axis(cdfs, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdfs, above, axis=-1)
+    s_b = jnp.take_along_axis(svals, below, axis=-1)
+    s_a = jnp.take_along_axis(svals, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    t = (u - cdf_b) / denom
+    return s_b + t * (s_a - s_b)
+
+
+def transmittance_from_density(t_starts: jnp.ndarray, t_ends: jnp.ndarray,
+                               sigmas: jnp.ndarray) -> jnp.ndarray:
+    """T_i = exp(-sum_{j<i} sigma_j * dt_j), dense [R, S]."""
+    dt = t_ends - t_starts
+    tau = sigmas * dt
+    cum = jnp.cumsum(tau, axis=-1)
+    exclusive = cum - tau
+    return jnp.exp(-exclusive)
+
+
+def render_weights_from_density(t_starts, t_ends, sigmas):
+    """alpha_i = 1-exp(-sigma dt); w_i = alpha_i * T_i. Returns (weights, trans)."""
+    dt = t_ends - t_starts
+    tau = sigmas * dt
+    alpha = 1.0 - jnp.exp(-tau)
+    trans = transmittance_from_density(t_starts, t_ends, sigmas)
+    return alpha * trans, trans
+
+
+def render_weights_from_alpha(alpha: jnp.ndarray) -> jnp.ndarray:
+    """w_i = alpha_i * prod_{j<i}(1 - alpha_j), dense [R, S]."""
+    one_minus = 1.0 - alpha + 1e-10
+    cum = jnp.cumprod(one_minus, axis=-1)
+    trans = cum / one_minus  # exclusive cumprod
+    return alpha * trans
+
+
+def accumulate_along_rays(weights: jnp.ndarray,
+                          values: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """sum_i w_i * v_i over the sample axis. weights [R,S], values [R,S,C].
+    Returns [R, C] (or [R, 1] opacity when values is None)."""
+    if values is None:
+        return jnp.sum(weights, axis=-1, keepdims=True)
+    return jnp.sum(weights[..., None] * values, axis=-2)
+
+
+def _transform_stot(sampling_type: str, s_vals, t_min, t_max):
+    if sampling_type == "uniform":
+        return s_vals * t_max + (1.0 - s_vals) * t_min
+    if sampling_type == "lindisp":
+        s_min, s_max = 1.0 / t_min, 1.0 / t_max
+        return 1.0 / (s_vals * s_max + (1.0 - s_vals) * s_min)
+    raise ValueError(f"Unknown sampling_type: {sampling_type}")
+
+
+def importance_sampling(
+    prop_sigma_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    num_prop_samples: int,
+    num_samples: int,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    stratified: bool = False,
+    sampling_type: str = "uniform",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Proposal-free hierarchical sampling (reference estimators.py:22-120).
+
+    near/far: [R, 1] or scalars broadcast to rays. prop_sigma_fn maps
+    (t_starts [R,P], t_ends [R,P]) -> densities [R,P].
+    Returns dense (t_starts, t_ends), each [R, P + num_samples].
+    """
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    R = near.shape[0] if near.ndim > 0 else 1
+    near = jnp.broadcast_to(near.reshape(-1, 1), (R, 1))
+    far = jnp.broadcast_to(far.reshape(-1, 1), (R, 1))
+
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+    # level 0: uniform CDF
+    svals0 = jnp.broadcast_to(
+        jnp.array([0.0, 1.0], jnp.float32)[None, :], (R, 2))
+    cdfs0 = svals0
+    svals = sample_pdf(svals0, cdfs0, num_prop_samples, rngs[0], stratified)
+    t_vals = _transform_stot(sampling_type, svals, near, far)
+    t_starts, t_ends = t_vals[..., :-1], t_vals[..., 1:]
+
+    sigmas = jax.lax.stop_gradient(prop_sigma_fn(t_starts, t_ends))
+    trans = transmittance_from_density(t_starts, t_ends, sigmas)
+    # endpoint CDF: 1 - [T, 0] -> starts at 0, ends at 1
+    cdfs = 1.0 - jnp.concatenate(
+        [trans, jnp.zeros_like(trans[:, :1])], axis=-1)
+
+    svals_fine = sample_pdf(svals, cdfs, num_samples, rngs[1], stratified)
+    t_fine = _transform_stot(sampling_type, svals_fine, near, far)
+
+    t_all = jnp.sort(jnp.concatenate([t_vals, t_fine], axis=-1), axis=-1)
+    return t_all[..., :-1], t_all[..., 1:]
+
+
+def volsdf_density(sdf: jnp.ndarray, inv_std) -> jnp.ndarray:
+    """Laplace-CDF density (reference neus_volume_renderer.py:19-23)."""
+    inv_std = jnp.clip(inv_std, 0.0, 80.0)
+    beta = 1.0 / inv_std
+    return inv_std * (0.5 + 0.5 * jnp.sign(sdf) * jnp.expm1(-jnp.abs(sdf) / beta))
+
+
+def neus_alpha(sdf, normal, dirs, dists, inv_std, cos_anneal_ratio):
+    """NeuS logistic-CDF section alpha (neus_volume_renderer.py:96-117).
+    All inputs [..., 1] except normal/dirs [..., 3]."""
+    true_cos = jnp.sum(dirs * normal, axis=-1, keepdims=True)
+    iter_cos = -(
+        jax.nn.relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+        + jax.nn.relu(-true_cos) * cos_anneal_ratio)
+    next_sdf = sdf + iter_cos * dists * 0.5
+    prev_sdf = sdf - iter_cos * dists * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_sdf * inv_std)
+    next_cdf = jax.nn.sigmoid(next_sdf * inv_std)
+    return jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5), 0.0, 1.0)
+
+
+def volsdf_alpha(sdf, dists, inv_std):
+    """alpha = dt * volsdf_density (neus_volume_renderer.py:93-95)."""
+    return jnp.abs(jax.lax.stop_gradient(dists)) * volsdf_density(sdf, inv_std)
+
+
+def rays_intersect_bbox(rays_o, rays_d, radius: float,
+                        near_min: float = 0.05):
+    """Per-ray near/far against an axis-aligned cube of half-extent `radius`.
+
+    Replaces nerfacc's ray-AABB test; fully vectorized, returns ([R,1],[R,1]).
+    Rays that miss get near=far (zero-length interval -> zero weights).
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) < 1e-10,
+                            jnp.full_like(rays_d, 1e-10), rays_d)
+    t0 = (-radius - rays_o) * inv_d
+    t1 = (radius - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1, keepdims=True)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1, keepdims=True)
+    t_near = jnp.maximum(t_near, near_min)
+    t_far = jnp.maximum(t_far, t_near + 1e-6)
+    return t_near, t_far
