@@ -200,6 +200,10 @@ def parse_structured(cls, cfg: Optional[dict] = None):
     Equivalent role to the reference's OmegaConf structured merge
     (threestudio/utils/config.py:117-128).
     """
+    if isinstance(cfg, cls):
+        return cfg
+    if dataclasses.is_dataclass(cfg) and not isinstance(cfg, type):
+        cfg = config_to_dict(cfg)
     cfg = dict(cfg or {})
     names = {f.name for f in dataclasses.fields(cls)}
     unknown = set(cfg) - names

@@ -1,0 +1,1 @@
+from . import backgrounds  # noqa: F401

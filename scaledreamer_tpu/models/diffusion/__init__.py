@@ -1,0 +1,1 @@
+from . import unet, vae  # noqa: F401

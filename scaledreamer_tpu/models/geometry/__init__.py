@@ -1,0 +1,1 @@
+from . import base, implicit_sdf, implicit_volume  # noqa: F401

@@ -1,0 +1,140 @@
+"""`implicit-volume` geometry: hash-grid NeRF density + feature field.
+
+Parity target: reference `threestudio/models/geometry/implicit_volume.py:19-285`
+— HashGrid encoding + density/feature MLPs, density blob bias
+(blob_dreamfusion / blob_magic3d), finite-difference / laplacian / pred /
+analytic normals.
+
+TPU-native notes:
+- `analytic` normals are implemented with `jax.grad` (the reference stubs this
+  as autograd with create_graph; in JAX it is a cheap extra VJP and avoids the
+  4x point evaluations of finite differencing — SURVEY.md §7.3-4).
+- All methods are shape-polymorphic in leading dims and pure; the module is
+  applied inside the single jitted train step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ... import register
+from ...ops.math import contract_to_unisphere, get_activation, safe_normalize
+from ...ops.networks import get_encoding, get_mlp
+from .base import ImplicitGeometryConfig, bbox_from_radius
+
+
+@register("implicit-volume")
+class ImplicitVolume(nn.Module):
+    @dataclass
+    class Config(ImplicitGeometryConfig):
+        density_activation: Optional[str] = "softplus"
+        density_bias: object = "blob_magic3d"
+        density_blob_scale: float = 10.0
+        density_blob_std: float = 0.5
+        isosurface_threshold: object = 25.0
+
+    cfg: "ImplicitVolume.Config"
+
+    def setup(self):
+        self.encoding = get_encoding(
+            self.cfg.n_input_dims, self.cfg.pos_encoding_config)
+        self.density_network = get_mlp(1, self.cfg.mlp_network_config)
+        if self.cfg.n_feature_dims > 0:
+            self.feature_network = get_mlp(
+                self.cfg.n_feature_dims, self.cfg.mlp_network_config)
+        if self.cfg.normal_type == "pred":
+            self.normal_network = get_mlp(3, self.cfg.mlp_network_config)
+
+    @property
+    def bbox(self):
+        return bbox_from_radius(self.cfg.radius)
+
+    def _density_bias(self, points):
+        cfg = self.cfg
+        if cfg.density_bias == "blob_dreamfusion":
+            return cfg.density_blob_scale * jnp.exp(
+                -0.5 * jnp.sum(points ** 2, -1, keepdims=True)
+                / cfg.density_blob_std ** 2)
+        if cfg.density_bias == "blob_magic3d":
+            r = jnp.sqrt(jnp.maximum(jnp.sum(points ** 2, -1, keepdims=True), 1e-12))
+            return cfg.density_blob_scale * (1.0 - r / cfg.density_blob_std)
+        if isinstance(cfg.density_bias, (int, float)):
+            return jnp.asarray(cfg.density_bias, jnp.float32)
+        raise ValueError(f"Unknown density bias {cfg.density_bias}")
+
+    def _activate_density(self, points_unscaled, density):
+        raw = density + self._density_bias(points_unscaled)
+        return raw, get_activation(self.cfg.density_activation)(raw)
+
+    def forward_density(self, points):
+        """points [..., 3] in world coords -> activated density [..., 1]."""
+        pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
+        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        density = self.density_network(enc).reshape(*points.shape[:-1], 1)
+        _, density = self._activate_density(points, density)
+        return density
+
+    def __call__(self, points, output_normal: bool = False):
+        points_unscaled = points
+        pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
+        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        density = self.density_network(enc).reshape(*points.shape[:-1], 1)
+        raw_density, density = self._activate_density(points_unscaled, density)
+        out = {"density": density}
+
+        if self.cfg.n_feature_dims > 0:
+            out["features"] = self.feature_network(enc).reshape(
+                *points.shape[:-1], self.cfg.n_feature_dims)
+
+        if output_normal:
+            nt = self.cfg.normal_type
+            if nt in ("finite_difference", "finite_difference_laplacian"):
+                eps = float(self.cfg.finite_difference_normal_eps)
+                if nt == "finite_difference_laplacian":
+                    offs = jnp.asarray(
+                        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+                         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], jnp.float32)
+                    p_off = jnp.clip(points_unscaled[..., None, :] + offs,
+                                     -self.cfg.radius, self.cfg.radius)
+                    d_off = self.forward_density(p_off)
+                    normal = -0.5 * (d_off[..., 0::2, 0] - d_off[..., 1::2, 0]) / eps
+                else:
+                    offs = jnp.asarray(
+                        [[eps, 0, 0], [0, eps, 0], [0, 0, eps]], jnp.float32)
+                    p_off = jnp.clip(points_unscaled[..., None, :] + offs,
+                                     -self.cfg.radius, self.cfg.radius)
+                    d_off = self.forward_density(p_off)
+                    normal = -(d_off[..., :, 0] - density) / eps
+                normal = safe_normalize(normal)
+            elif nt == "pred":
+                normal = safe_normalize(self.normal_network(enc).reshape(
+                    *points.shape[:-1], 3))
+            elif nt == "analytic":
+                grad = jax.grad(
+                    lambda p: jnp.sum(self.forward_density(p)))(points_unscaled)
+                normal = safe_normalize(-grad)
+            else:
+                raise ValueError(f"Unknown normal type {nt}")
+            out["normal"] = normal
+            out["shading_normal"] = normal
+        return out
+
+    def forward_field(self, points):
+        return self.forward_density(points), None
+
+    def forward_level(self, field, threshold):
+        # density field: inside = high density -> level = -(field - threshold)
+        return -(field - threshold)
+
+    def export(self, points):
+        if self.cfg.n_feature_dims == 0:
+            return {}
+        pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
+        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        return {"features": self.feature_network(enc).reshape(
+            *points.shape[:-1], self.cfg.n_feature_dims)}

@@ -1,0 +1,1 @@
+from . import asd, dummy, schedule, sd_asd  # noqa: F401

@@ -1,0 +1,1 @@
+from . import no_material  # noqa: F401

@@ -1,0 +1,1 @@
+from . import base, stable_diffusion  # noqa: F401

@@ -1,0 +1,1 @@
+from . import nerf_volume, neus_volume, occupancy  # noqa: F401

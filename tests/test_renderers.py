@@ -1,0 +1,197 @@
+"""Renderer tests: analytic sphere (SURVEY.md §4 build plan step 4)."""
+
+from dataclasses import dataclass
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scaledreamer_tpu as sd
+from scaledreamer_tpu.core.config import parse_structured
+from scaledreamer_tpu.data.cameras import (get_ray_directions, get_rays,
+                                           look_at_c2w)
+
+sd.ensure_builtins()
+
+
+class AnalyticSphereDensity(nn.Module):
+    """Opaque sphere of radius 0.5 at origin (density field)."""
+    radius: float = 0.5
+    sigma: float = 1e3
+
+    def __call__(self, points, output_normal=False):
+        r = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        density = jnp.where(r < self.radius, self.sigma, 0.0)
+        out = {"density": density,
+               "features": jnp.broadcast_to(
+                   jnp.asarray([10.0, -10.0, -10.0]),
+                   (*points.shape[:-1], 3))}  # sigmoid -> red
+        if output_normal:
+            n = points / jnp.clip(r, 1e-6)
+            out["normal"] = n
+            out["shading_normal"] = n
+        return out
+
+    def forward_density(self, points):
+        return self(points)["density"]
+
+
+class AnalyticSphereSDF(nn.Module):
+    radius: float = 0.5
+
+    def __call__(self, points, output_normal=False):
+        r = jnp.linalg.norm(points, axis=-1, keepdims=True)
+        out = {"sdf": r - self.radius,
+               "features": jnp.broadcast_to(
+                   jnp.asarray([10.0, -10.0, -10.0]),
+                   (*points.shape[:-1], 3))}
+        if output_normal:
+            n = points / jnp.clip(r, 1e-6)
+            out.update({"normal": n, "shading_normal": n, "sdf_grad": n})
+        return out
+
+    def forward_sdf(self, points):
+        return self(points)["sdf"]
+
+
+def _camera_batch(H=16, W=16, dist=2.0):
+    eye = np.array([[dist, 0.0, 0.0]], dtype=np.float32)
+    c2w = look_at_c2w(eye, np.zeros((1, 3), np.float32),
+                      np.array([[0, 0, 1]], np.float32))
+    fovy = np.deg2rad(60.0)
+    focal = 0.5 * H / np.tan(0.5 * fovy)
+    dirs = get_ray_directions(H, W, focal=focal)
+    rays_o, rays_d = get_rays(dirs[None], c2w, keepdim=True)
+    return jnp.asarray(rays_o), jnp.asarray(rays_d)
+
+
+def _build_material_background():
+    NoMaterial = sd.find("no-material")
+    material = NoMaterial(cfg=parse_structured(NoMaterial.Config, {}))
+    Solid = sd.find("solid-color-background")
+    background = Solid(cfg=parse_structured(
+        Solid.Config, {"color": (0.0, 0.0, 1.0)}))
+    return material, background
+
+
+@pytest.mark.parametrize("estimator", ["importance", "occgrid"])
+def test_nerf_renderer_sphere(estimator):
+    Renderer = sd.find("nerf-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "radius": 1.0, "num_samples_per_ray": 128, "estimator": estimator,
+        "num_samples_per_ray_importance": 32, "randomized": False})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch()
+    params = renderer.init(jax.random.PRNGKey(0), rays_o, rays_d, train=False)
+    out = renderer.apply(params, rays_o, rays_d, train=False)
+    H = rays_o.shape[1]
+    c = H // 2
+    opacity = np.asarray(out["opacity"])[0, ..., 0]
+    assert opacity[c, c] > 0.95          # center hits the sphere
+    assert opacity[0, 0] < 0.05          # corner misses
+    depth = np.asarray(out["depth"])[0, c, c, 0]
+    assert depth == pytest.approx(1.5, abs=0.05)   # 2.0 - 0.5
+    rgb = np.asarray(out["comp_rgb"])[0]
+    assert rgb[c, c, 0] > 0.9 and rgb[c, c, 2] < 0.1   # red sphere
+    assert rgb[0, 0, 2] > 0.9                          # blue background
+
+
+def test_neus_renderer_sphere_volsdf():
+    Renderer = sd.find("neus-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "radius": 1.0, "num_samples_per_ray": 64, "estimator": "importance",
+        "num_samples_per_ray_importance": 64, "use_volsdf": True,
+        "learned_variance_init": np.log(30.0) / 10.0, "randomized": False})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereSDF(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch()
+    params = renderer.init(jax.random.PRNGKey(0), rays_o, rays_d, train=False)
+    out = renderer.apply(params, rays_o, rays_d, train=False)
+    H = rays_o.shape[1]
+    c = H // 2
+    opacity = np.asarray(out["opacity"])[0, ..., 0]
+    assert opacity[c, c] > 0.9
+    assert opacity[0, 0] < 0.1
+    depth = np.asarray(out["depth"])[0, c, c, 0]
+    assert depth == pytest.approx(1.5, abs=0.1)
+    assert out["inv_std"] == pytest.approx(30.0, rel=1e-4)
+
+
+def test_neus_renderer_train_outputs():
+    Renderer = sd.find("neus-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "num_samples_per_ray": 32, "estimator": "importance",
+        "num_samples_per_ray_importance": 16, "use_volsdf": True})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereSDF(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch(H=8, W=8)
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1),
+         "aug": jax.random.PRNGKey(2)},
+        rays_o, rays_d, train=True)
+    out = renderer.apply(params, rays_o, rays_d, train=True,
+                         rngs={"sampling": jax.random.PRNGKey(3),
+                               "aug": jax.random.PRNGKey(4)})
+    assert "weights" in out and "sdf" in out and "normal" in out
+    assert out["z_variance"].shape == (1, 8, 8, 1)
+
+
+def test_implicit_volume_geometry_forward(jax_key):
+    Geo = sd.find("implicit-volume")
+    cfg = parse_structured(Geo.Config, {
+        "radius": 1.0, "normal_type": "analytic",
+        "pos_encoding_config": {
+            "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+            "log2_hashmap_size": 8, "base_resolution": 4,
+            "per_level_scale": 1.5},
+    })
+    geo = Geo(cfg=cfg)
+    pts = jax.random.uniform(jax_key, (33, 3), minval=-1, maxval=1)
+    params = geo.init(jax_key, pts, output_normal=True)
+    out = geo.apply(params, pts, output_normal=True)
+    assert out["density"].shape == (33, 1)
+    assert out["features"].shape == (33, 3)
+    assert out["normal"].shape == (33, 3)
+    norms = np.linalg.norm(np.asarray(out["normal"]), axis=-1)
+    # normals are unit except where the density gradient vanishes
+    assert (np.abs(norms - 1.0) < 1e-3).mean() > 0.8
+    # magic3d blob: density at center >> density at edge
+    d_center = geo.apply(params, jnp.zeros((1, 3)),
+                         method=geo.forward_density)
+    d_edge = geo.apply(params, jnp.full((1, 3), 0.9),
+                       method=geo.forward_density)
+    assert float(d_center[0, 0]) > float(d_edge[0, 0])
+
+
+def test_implicit_sdf_geometry_sphere_bias(jax_key):
+    Geo = sd.find("implicit-sdf")
+    cfg = parse_structured(Geo.Config, {
+        "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+        "normal_type": "finite_difference",
+        "pos_encoding_config": {
+            "otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+            "log2_hashmap_size": 8, "base_resolution": 4,
+            "per_level_scale": 1.5},
+    })
+    geo = Geo(cfg=cfg)
+    pts = jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.0, 0.0]])
+    params = geo.init(jax_key, pts, output_normal=True)
+    sdf = np.asarray(geo.apply(params, pts, method=geo.forward_sdf))
+    # hash features init ~1e-4, so sdf ~ |p| - 0.5
+    assert sdf[0, 0] == pytest.approx(-0.5, abs=0.05)
+    assert sdf[1, 0] == pytest.approx(0.4, abs=0.05)
+
+
+def test_registered_names_present():
+    for name in ["implicit-volume", "implicit-sdf", "no-material",
+                 "neural-environment-map-background",
+                 "solid-color-background", "textured-background",
+                 "nerf-volume-renderer", "neus-volume-renderer",
+                 "random-camera-datamodule"]:
+        assert sd.find(name) is not None
