@@ -1,0 +1,114 @@
+"""Benchmark: north-star workload throughput on the local accelerator.
+
+Workload (BASELINE.md): Hyper-iNGP + SD-ASD amortized training step — render
+(importance 128->64 VolSDF at 64², B=1) + SD2.1 UNet guidance (5x batch with
+perp-neg) + Adam update — as ONE jitted XLA program, measured end-to-end.
+
+SD weights are random-initialized when no converted checkpoint is present;
+the compute graph (and therefore throughput) is identical to the pretrained
+model. Prompt embeddings come from the offline deterministic encoder when no
+CLIP checkpoint is present — again identical shapes/compute.
+
+Prints one JSON line:
+  {"metric": "asd_iters_per_sec", "value": N, "unit": "it/s",
+   "vs_baseline": N}
+
+vs_baseline divides by an ESTIMATED A100 reference throughput for the same
+workload (reference repo publishes no numbers — BASELINE.md); replace with a
+measured value when one exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SDTPU_BENCH", "1")
+
+ESTIMATED_A100_ITERS_PER_SEC = 4.0  # unpublished; see BASELINE.md
+
+
+def main():
+    import jax
+    import numpy as np
+
+    import scaledreamer_tpu as sd
+    from scaledreamer_tpu.core.config import load_config, parse_structured
+
+    sd.ensure_builtins()
+
+    n_steps = int(os.environ.get("BENCH_STEPS", 30))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
+
+    cfg = load_config(
+        "configs/multi-prompt_benchmark/asd_sd_hyper_iNGP_50k.yaml",
+        cli_args=[
+            "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            "system.guidance.pretrained_model_name_or_path=__offline__",
+            "use_timestamp=false",
+            "tag=bench",
+            "exp_root_dir=outputs/_bench",
+            "trainer.max_steps=1",
+        ],
+        n_gpus=jax.device_count())
+
+    dm_cls = sd.find(cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, cfg.data), seed=0)
+    system_cls = sd.find(cfg.system_type)
+    system = system_cls(cfg=parse_structured(system_cls.Config, cfg.system))
+
+    rng = jax.random.PRNGKey(0)
+    dm.setup("fit")
+    system.on_fit_start(rng)
+    batch = system.prepare_batch(dm.train_batch())
+    state = system.init_state(jax.random.fold_in(rng, 1), batch)
+    train_step = system.make_train_step()
+    gp = system.guidance_params
+
+    def run_step(i):
+        b = system.prepare_batch(dm.train_batch())
+        jb = {k: v for k, v in b.items()
+              if isinstance(v, (np.ndarray, jax.Array))}
+        scalars = system.schedule_scalars(0, i)
+        return train_step(state, gp, jb, scalars, jax.random.fold_in(rng, i))
+
+    # warmup (compile)
+    for i in range(n_warmup):
+        st, metrics = run_step(i)
+        state = st
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_steps):
+        state, metrics = run_step(i)
+    jax.block_until_ready(state.params)
+    elapsed = time.perf_counter() - t0
+
+    iters_per_sec = n_steps / elapsed
+    # secondary: rays/sec through the volume renderer
+    B, H, W = batch["rays_o"].shape[:3]
+    S = (cfg.system["renderer"]["num_samples_per_ray"]
+         + cfg.system["renderer"]["num_samples_per_ray_importance"])
+    rays_per_sec = iters_per_sec * B * H * W
+
+    result = {
+        "metric": "asd_iters_per_sec",
+        "value": round(iters_per_sec, 4),
+        "unit": "it/s",
+        "vs_baseline": round(iters_per_sec / ESTIMATED_A100_ITERS_PER_SEC, 4),
+        "detail": {
+            "workload": "hyper_ingp_asd_sd_64px_b1_importance128to64",
+            "rays_per_sec": round(rays_per_sec, 1),
+            "samples_per_ray": S,
+            "steps_timed": n_steps,
+            "device": str(jax.devices()[0]),
+            "loss_final": float(np.asarray(metrics["loss"])),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,1 +1,2 @@
-from . import uncond  # noqa: F401
+from . import (multiprompt, multiview_multiprompt, uncond,  # noqa: F401
+               uncond_multiview)

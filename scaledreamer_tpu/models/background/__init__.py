@@ -1,1 +1,1 @@
-from . import backgrounds  # noqa: F401
+from . import backgrounds, multiprompt_hashgrid  # noqa: F401

@@ -75,14 +75,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         residual = x
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -181,7 +181,7 @@ class Transformer2D(nn.Module):
     def __call__(self, x, context):
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm")(x)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm")(x)
         h = h.reshape(B, H * W, C)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
         for i in range(self.depth):
@@ -255,7 +255,7 @@ class UNet2DConditionModel(nn.Module):
                 h = ResnetBlock(ch, dtype=dtype,
                                 name=f"down_{i}_resnets_{j}")(h, temb)
                 if has_attn:
-                    heads = ch // cfg.attention_head_dim
+                    heads = max(1, ch // cfg.attention_head_dim)
                     h = Block(
                         ch, heads, cfg.attention_head_dim,
                         cfg.cross_attention_dim, num_frames=cfg.num_frames,
@@ -269,7 +269,7 @@ class UNet2DConditionModel(nn.Module):
         # mid
         ch = cfg.block_out_channels[-1]
         h = ResnetBlock(ch, dtype=dtype, name="mid_resnets_0")(h, temb)
-        h = Block(ch, ch // cfg.attention_head_dim, cfg.attention_head_dim,
+        h = Block(ch, max(1, ch // cfg.attention_head_dim), cfg.attention_head_dim,
                   cfg.cross_attention_dim, num_frames=cfg.num_frames,
                   dtype=dtype, name="mid_attentions_0")(h, context)
         h = ResnetBlock(ch, dtype=dtype, name="mid_resnets_1")(h, temb)
@@ -284,7 +284,7 @@ class UNet2DConditionModel(nn.Module):
                 h = ResnetBlock(ch, dtype=dtype,
                                 name=f"up_{i}_resnets_{j}")(h, temb)
                 if has_attn:
-                    heads = ch // cfg.attention_head_dim
+                    heads = max(1, ch // cfg.attention_head_dim)
                     h = Block(
                         ch, heads, cfg.attention_head_dim,
                         cfg.cross_attention_dim, num_frames=cfg.num_frames,
@@ -292,7 +292,7 @@ class UNet2DConditionModel(nn.Module):
             if i != n_blocks - 1:
                 h = Upsample(ch, dtype=dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,

@@ -34,11 +34,11 @@ class VAEResnet(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -55,7 +55,7 @@ class VAEAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="group_norm")(x)
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="group_norm")(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -92,7 +92,7 @@ class Encoder(nn.Module):
         h = VAEResnet(ch, dtype=dtype, name="mid_resnets_0")(h)
         h = VAEAttention(ch, dtype=dtype, name="mid_attention")(h)
         h = VAEResnet(ch, dtype=dtype, name="mid_resnets_1")(h)
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
@@ -127,7 +127,7 @@ class Decoder(nn.Module):
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
                 h = nn.Conv(ch, (3, 3), padding=1, dtype=dtype,
                             name=f"up_{i}_upsample")(h)
-        h = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=jnp.float32,

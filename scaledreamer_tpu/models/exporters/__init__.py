@@ -1,0 +1,1 @@
+from . import mesh_exporter  # noqa: F401

@@ -1,1 +1,2 @@
-from . import base, implicit_sdf, implicit_volume  # noqa: F401
+from . import (base, conv3d_modules, hyper_ingp, implicit_sdf,  # noqa: F401
+               implicit_volume, stylegan_3dconv_net, triplane_transformer)

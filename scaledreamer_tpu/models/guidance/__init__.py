@@ -1,1 +1,1 @@
-from . import asd, dummy, schedule, sd_asd  # noqa: F401
+from . import asd, dummy, mvdream_asd, schedule, sd_asd  # noqa: F401

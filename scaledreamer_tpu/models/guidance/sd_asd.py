@@ -63,6 +63,11 @@ class SDAsdGuidance(BaseObject):
         guidance_perp_neg: float = 0.0
         image_size: int = 512
         latent_size: int = 64
+        # scaled-down architecture overrides (tests / multichip dryruns);
+        # None = SD2.1-base
+        unet_block_channels: Optional[list] = None
+        vae_block_channels: Optional[list] = None
+        cross_attention_dim: int = 1024
 
     cfg: Config
 
@@ -71,8 +76,17 @@ class SDAsdGuidance(BaseObject):
         from ..diffusion.vae import AutoencoderKL, VAEConfig
 
         dtype = jnp.bfloat16 if self.cfg.half_precision_weights else jnp.float32
-        self.unet = UNet2DConditionModel(UNetConfig(dtype=dtype))
-        self.vae = AutoencoderKL(VAEConfig(dtype=dtype))
+        unet_kwargs = {"dtype": dtype,
+                       "cross_attention_dim": self.cfg.cross_attention_dim}
+        if self.cfg.unet_block_channels is not None:
+            unet_kwargs["block_out_channels"] = tuple(
+                self.cfg.unet_block_channels)
+        vae_kwargs = {"dtype": dtype}
+        if self.cfg.vae_block_channels is not None:
+            vae_kwargs["block_out_channels"] = tuple(
+                self.cfg.vae_block_channels)
+        self.unet = UNet2DConditionModel(UNetConfig(**unet_kwargs))
+        self.vae = AutoencoderKL(VAEConfig(**vae_kwargs))
         self.alphas_cumprod = jnp.asarray(make_alphas_cumprod())
         self.num_train_timesteps = 1000
         self.use_perp_neg = self.cfg.guidance_perp_neg != 0
@@ -109,7 +123,7 @@ class SDAsdGuidance(BaseObject):
     def _random_params(self, rng, param_dtype):
         k1, k2 = jax.random.split(rng)
         latent = jnp.zeros((1, self.cfg.latent_size, self.cfg.latent_size, 4))
-        ctx = jnp.zeros((1, 77, 1024))
+        ctx = jnp.zeros((1, 77, self.cfg.cross_attention_dim))
         img = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, 3))
         unet_params = self.unet.init(k1, latent, jnp.zeros((1,), jnp.int32), ctx)
         vae_params = self.vae.init(

@@ -1,1 +1,1 @@
-from . import base, stable_diffusion  # noqa: F401
+from . import base, multi_prompt, stable_diffusion  # noqa: F401

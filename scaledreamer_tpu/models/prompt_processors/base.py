@@ -99,18 +99,33 @@ class PromptProcessorOutput:
         return direction_idx(elevation, azimuth, self.overhead_threshold,
                              self.front_threshold, self.back_threshold)
 
+    @property
+    def _vd_is_batched(self) -> bool:
+        # multi-prompt path carries per-sample vd embeddings [B, 4, 77, C]
+        return self.text_embeddings_vd.ndim == 4
+
+    def _select_vd(self, idx):
+        if self._vd_is_batched:
+            return jnp.take_along_axis(
+                self.text_embeddings_vd, idx[:, None, None, None],
+                axis=1).squeeze(1)
+        return jnp.take(self.text_embeddings_vd, idx, axis=0)
+
     def get_text_embeddings(self, elevation, azimuth, camera_distances,
                             view_dependent_prompting: bool = True):
         """-> [2B, 77, C] stacked (cond, uncond) (reference base.py:53-80)."""
         B = elevation.shape[0]
         if view_dependent_prompting:
             idx = self._direction_idx(elevation, azimuth)
-            text = jnp.take(self.text_embeddings_vd, idx, axis=0)
+            text = self._select_vd(idx)
             uncond = jnp.take(self.uncond_text_embeddings_vd, idx, axis=0)
         else:
-            text = jnp.broadcast_to(
-                self.text_embeddings[None],
-                (B, *self.text_embeddings.shape))
+            if self.text_embeddings.ndim == 3:  # per-sample [B, 77, C]
+                text = self.text_embeddings
+            else:
+                text = jnp.broadcast_to(
+                    self.text_embeddings[None],
+                    (B, *self.text_embeddings.shape))
             uncond = jnp.broadcast_to(
                 self.uncond_text_embeddings[None],
                 (B, *self.uncond_text_embeddings.shape))
@@ -130,10 +145,15 @@ class PromptProcessorOutput:
         idx = self._direction_idx(elevation, azimuth)
         azi = shift_azimuth_deg(azimuth)
 
-        side = self.text_embeddings_vd[0]
-        front = self.text_embeddings_vd[1]
-        back = self.text_embeddings_vd[2]
-        overhead = self.text_embeddings_vd[3]
+        # vd axis -3 indexes direction for both shared [4,77,C] and
+        # per-sample [B,4,77,C] layouts; broadcasting handles the rest
+        side = self.text_embeddings_vd[..., 0, :, :]
+        front = self.text_embeddings_vd[..., 1, :, :]
+        back = self.text_embeddings_vd[..., 2, :, :]
+        overhead = self.text_embeddings_vd[..., 3, :, :]
+        if not self._vd_is_batched:
+            side, front, back, overhead = (
+                side[None], front[None], back[None], overhead[None])
         uncond_vd = jnp.take(self.uncond_text_embeddings_vd, idx, axis=0)
 
         is_overhead = (idx == 3)[:, None, None]
@@ -142,16 +162,19 @@ class PromptProcessorOutput:
 
         # front-side interpolation (|azi| < 90): 1 -> pure front, 0 -> side
         r_fs = (1.0 - abs_azi / 90.0)[:, None, None]
-        pos_fs = r_fs * front[None] + (1 - r_fs) * side[None]
+        pos_fs = r_fs * front + (1 - r_fs) * side
         # side-back interpolation: r = 2 - |azi|/90; 1 -> side, 0 -> back
         r_sb = (2.0 - abs_azi / 90.0)[:, None, None]
-        pos_sb = r_sb * side[None] + (1 - r_sb) * back[None]
+        pos_sb = r_sb * side + (1 - r_sb) * back
 
         pos = jnp.where(is_front_zone, pos_fs, pos_sb)
-        pos = jnp.where(is_overhead, overhead[None], pos)
+        pos = jnp.where(is_overhead, jnp.broadcast_to(overhead, pos.shape),
+                        pos)
 
-        neg0 = jnp.where(is_front_zone, front[None], side[None])
-        neg1 = jnp.where(is_front_zone, side[None], front[None])
+        neg0 = jnp.where(is_front_zone, jnp.broadcast_to(front, pos.shape),
+                         jnp.broadcast_to(side, pos.shape))
+        neg1 = jnp.where(is_front_zone, jnp.broadcast_to(side, pos.shape),
+                         jnp.broadcast_to(front, pos.shape))
         neg0 = jnp.where(is_overhead, uncond_vd, neg0)
         neg1 = jnp.where(is_overhead, uncond_vd, neg1)
 

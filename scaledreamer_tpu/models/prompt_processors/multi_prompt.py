@@ -1,0 +1,189 @@
+"""`stable-diffusion-multi-prompt-processor`: corpus-scale prompt embeddings.
+
+Parity target: reference
+`custom/amortized/models/prompt_processors/base.py:31-568` and
+`stable_diffusion_multi_prompt_processor.py:14-92`:
+- loads the prompt library JSON ({train,val,test}) SHARDED per process
+  `[rank::world]` (base.py:169-188 — the scalability trick, SURVEY.md §2.2),
+- caches BOTH local (77-token) and global (pooled) CLIP embeddings per
+  prompt, md5-keyed on disk,
+- per-batch `__call__(prompt=[...])` stacks cached arrays into a batched
+  `PromptProcessorOutput` whose vd embeddings are per-sample [B, 4, 77, C].
+
+The batched embedding selection runs inside the jitted step (see
+base.PromptProcessorOutput — shared vs per-sample layouts both vectorized).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ... import register
+from ...core.base import BaseObject
+from .base import (DIRECTION_NAMES, PromptProcessorOutput,
+                   direction_templates, hash_prompt)
+from .stable_diffusion import (SD21_CTX, SD21_DIM, _pseudo_embedding,
+                               encode_with_clip)
+
+logger = logging.getLogger(__name__)
+
+
+@register("stable-diffusion-multi-prompt-processor")
+class StableDiffusionMultiPromptProcessor(BaseObject):
+    @dataclass
+    class Config:
+        prompt_library: str = "magic3d_prompt_library"
+        prompt_library_dir: str = "load"
+        prompt_library_format: str = "json"
+        eval_prompt: Optional[str] = None
+        eval_prompt_target: Optional[str] = None
+        pretrained_model_name_or_path: str = "pretrained/stable-diffusion-2-1-base"
+        negative_prompt: str = ""
+        overhead_threshold: float = 60.0
+        front_threshold: float = 45.0
+        back_threshold: float = 45.0
+        view_dependent_prompt_front: bool = False
+        use_cache: bool = True
+        spawn: bool = False
+        cache_dir: str = ".sdtpu_cache/text_embeddings"
+        use_perp_neg: bool = False
+        perp_neg_f_sb: Tuple[float, float, float] = (1, 0.5, -0.606)
+        perp_neg_f_fsb: Tuple[float, float, float] = (1, 0.5, +0.967)
+        perp_neg_f_fs: Tuple[float, float, float] = (4, 0.5, -2.426)
+        perp_neg_f_sf: Tuple[float, float, float] = (4, 0.5, -2.426)
+        use_prompt_debiasing: bool = False
+        use_local_text_embeddings: bool = False
+
+    cfg: Config
+
+    def configure(self) -> None:
+        self.templates = direction_templates(
+            self.cfg.view_dependent_prompt_front)
+        self.negative_prompt = self.cfg.negative_prompt
+
+        lib_path = os.path.join(
+            self.cfg.prompt_library_dir,
+            f"{self.cfg.prompt_library}.{self.cfg.prompt_library_format}")
+        with open(lib_path) as f:
+            library = json.load(f)
+        # per-process shard [rank::world] (reference base.py:176-186)
+        rank, world = jax.process_index(), jax.process_count()
+        self.prompt_library = {
+            split: prompts[rank::world] if split == "train" else prompts
+            for split, prompts in library.items()
+        }
+        self.all_prompts = sorted(
+            {p for split in self.prompt_library.values() for p in split}
+            | {self.negative_prompt})
+        logger.info("Prompt shard %d/%d: %d train prompts",
+                    rank, world, len(self.prompt_library.get("train", [])))
+
+        self.prepare_text_embeddings()
+        self.load_text_embeddings()
+
+    # ------------------------------------------------------------------
+    def _cache_paths(self, prompt: str):
+        model = self.cfg.pretrained_model_name_or_path
+        return (
+            os.path.join(self.cfg.cache_dir,
+                         f"{hash_prompt(model, prompt, 'local')}.npy"),
+            os.path.join(self.cfg.cache_dir,
+                         f"{hash_prompt(model, prompt, 'global')}.npy"),
+        )
+
+    def _encode(self, prompts: List[str]):
+        path = self.cfg.pretrained_model_name_or_path
+        if os.path.isdir(str(path)):
+            return encode_with_clip(str(path), prompts)
+        logger.warning(
+            "Text encoder not found at %s; deterministic pseudo-embeddings "
+            "(offline mode).", path)
+        local = np.stack(
+            [_pseudo_embedding(p, SD21_CTX, SD21_DIM) for p in prompts])
+        return local, local.mean(axis=1)
+
+    def prepare_text_embeddings(self) -> None:
+        os.makedirs(self.cfg.cache_dir, exist_ok=True)
+        needed = []
+        for p in self.all_prompts:
+            variants = [p] + [self.templates[d](p) for d in DIRECTION_NAMES]
+            for v in variants:
+                lp, gp = self._cache_paths(v)
+                if not (self.cfg.use_cache and os.path.exists(lp)
+                        and os.path.exists(gp)):
+                    needed.append(v)
+        needed = list(dict.fromkeys(needed))
+        if needed:
+            logger.info("Encoding %d prompt variants...", len(needed))
+            local, glob = self._encode(needed)
+            for v, l, g in zip(needed, local, glob):
+                lp, gp = self._cache_paths(v)
+                np.save(lp, l.astype(np.float32))
+                np.save(gp, g.astype(np.float32))
+
+    def load_text_embeddings(self) -> None:
+        """Load the shard's embeddings into host RAM dicts
+        (reference base.py:313-370)."""
+        self.local_text_embeddings = {}
+        self.global_text_embeddings = {}
+        self.text_embeddings_vd = {}
+        for p in self.all_prompts:
+            lp, gp = self._cache_paths(p)
+            self.local_text_embeddings[p] = np.load(lp)
+            self.global_text_embeddings[p] = np.load(gp)
+            vd = []
+            for d in DIRECTION_NAMES:
+                lpd, _ = self._cache_paths(self.templates[d](p))
+                vd.append(np.load(lpd))
+            self.text_embeddings_vd[p] = np.stack(vd)
+
+    # ------------------------------------------------------------------
+    def __call__(self, prompt) -> PromptProcessorOutput:
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        for p in prompt:
+            if p not in self.local_text_embeddings:
+                raise ValueError(f"Prompt [{p}] is not in the prompt library.")
+        neg = self.negative_prompt
+        local = np.stack([self.local_text_embeddings[p] for p in prompt])
+        glob = np.stack([self.global_text_embeddings[p] for p in prompt])
+        vd = np.stack([self.text_embeddings_vd[p] for p in prompt])
+        global_embed = local if self.cfg.use_local_text_embeddings else glob
+        return PromptProcessorOutput(
+            text_embeddings=jnp.asarray(local),
+            uncond_text_embeddings=jnp.asarray(
+                self.local_text_embeddings[neg]),
+            text_embeddings_vd=jnp.asarray(vd),
+            uncond_text_embeddings_vd=jnp.asarray(
+                self.text_embeddings_vd[neg]),
+            use_perp_neg=self.cfg.use_perp_neg,
+            perp_neg_f_sb=self.cfg.perp_neg_f_sb,
+            perp_neg_f_fsb=self.cfg.perp_neg_f_fsb,
+            perp_neg_f_fs=self.cfg.perp_neg_f_fs,
+            perp_neg_f_sf=self.cfg.perp_neg_f_sf,
+            prompt=prompt[0],
+            prompts_vd=list(prompt),
+            overhead_threshold=self.cfg.overhead_threshold,
+            front_threshold=self.cfg.front_threshold,
+            back_threshold=self.cfg.back_threshold,
+            global_text_embeddings=jnp.asarray(global_embed),
+        )
+
+
+@register("dummy-multi-prompt-processor")
+class DummyMultiPromptProcessor(StableDiffusionMultiPromptProcessor):
+    """Offline multi-prompt processor: pseudo-embeddings, no weights."""
+
+    @dataclass
+    class Config(StableDiffusionMultiPromptProcessor.Config):
+        pretrained_model_name_or_path: str = "__offline__"
+
+    cfg: Config

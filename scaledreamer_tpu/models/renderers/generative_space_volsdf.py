@@ -1,0 +1,192 @@
+"""`generative-space-volsdf-volume-renderer`: the amortized-path renderer.
+
+Parity target: reference
+`custom/amortized/models/renderers/generative_space_volsdf_volume_renderer.py:37-463`:
+- `geometry.generate_space_cache(noise, text_embed)` called ONCE per batch,
+  then many point evaluations against that cache,
+- space_cache repeat when n_views > n_prompts (training with multi-view),
+- importance-only estimator, VolSDF alpha, optionally fixed variance,
+- text-conditioned background pass-through.
+
+TPU notes: the reference's `chunk_batch_custom` dim-1 chunking and
+per-camera inference loop (:132-158) exist to fit CUDA memory; here the
+jitted renderer is fixed-shape and the *trainer* chunks eval rays, so the
+space-cache/rays alignment is preserved by construction (cache has batch
+dim B; rays reshape to [B, chunk]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ... import register
+from ...ops.math import safe_normalize
+from ...ops.render import (accumulate_along_rays, importance_sampling,
+                           rays_intersect_bbox, render_weights_from_alpha,
+                           volsdf_alpha, volsdf_density)
+from .neus_volume import LearnedVariance
+
+
+@register("generative-space-volsdf-volume-renderer")
+class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
+    @dataclass
+    class Config:
+        radius: float = 1.0
+        num_samples_per_ray: int = 512
+        randomized: bool = True
+        eval_chunk_size: int = 320000
+        learned_variance_init: float = 0.3
+        cos_anneal_end_steps: int = 0
+        use_volsdf: bool = False
+        near_plane: float = 0.0
+        far_plane: float = 1e10
+        trainable_variance: bool = True
+        estimator: str = "importance"
+        grid_prune: bool = True
+        prune_alpha_threshold: bool = True
+        num_samples_per_ray_importance: int = 64
+        train_chunk_size: int = 0
+        rgb_as_latents: bool = False
+
+    cfg: "GenerativeSpaceVolSDFVolumeRenderer.Config"
+    geometry: nn.Module
+    material: nn.Module
+    background: nn.Module
+
+    def setup(self):
+        if self.cfg.estimator != "importance":
+            raise NotImplementedError(
+                "generative-space renderer supports estimator='importance' "
+                "only (reference :75-80)")
+        self.variance = LearnedVariance(
+            init_val=self.cfg.learned_variance_init,
+            trainable=self.cfg.trainable_variance)
+
+    def __call__(self, rays_o, rays_d, light_positions=None, bg_color=None,
+                 noise=None, text_embed=None, space_cache=None,
+                 train: bool = True, **kwargs):
+        cfg = self.cfg
+        B, H, W, _ = rays_o.shape
+        n_rays_per = H * W
+        inv_std = self.variance()
+
+        if space_cache is None:
+            space_cache = self.geometry.generate_space_cache(
+                styles=noise, text_embed=text_embed)
+        B_cache = jax.tree.leaves(space_cache)[0].shape[0]
+        if B_cache != B:
+            # repeat_interleave so each prompt's cache covers its views
+            assert B % B_cache == 0, (B, B_cache)
+            rep = B // B_cache
+            space_cache = jax.tree.map(
+                lambda x: jnp.repeat(x, rep, axis=0), space_cache)
+
+        rays_o_flat = rays_o.reshape(B, n_rays_per, 3)
+        rays_d_flat = rays_d.reshape(B, n_rays_per, 3)
+        R = B * n_rays_per
+        rng = self.make_rng("sampling") if (train and cfg.randomized) else None
+
+        near, far = rays_intersect_bbox(
+            rays_o_flat.reshape(R, 3), rays_d_flat.reshape(R, 3), cfg.radius)
+        near = jnp.maximum(near, cfg.near_plane)
+        far = jnp.minimum(far, cfg.far_plane)
+
+        def prop_sigma_fn(t0, t1):
+            # t0/t1 [R, P] -> densities [R, P]; geometry eval batched per
+            # space-cache sample
+            P = t0.shape[-1]
+            tm = ((t0 + t1) / 2.0).reshape(B, n_rays_per, P, 1)
+            pos = (rays_o_flat[:, :, None, :]
+                   + rays_d_flat[:, :, None, :] * tm)
+            sdf = self.geometry.forward_sdf(
+                pos.reshape(B, n_rays_per * P, 3), space_cache)
+            sigma = volsdf_density(sdf, inv_std)
+            return sigma.reshape(R, P)
+
+        t_starts, t_ends = importance_sampling(
+            prop_sigma_fn, cfg.num_samples_per_ray_importance,
+            cfg.num_samples_per_ray, near, far, rng=rng,
+            stratified=train and cfg.randomized)
+        S = t_starts.shape[-1]
+        t_mid = ((t_starts + t_ends) / 2.0)[..., None]   # [R, S, 1]
+        t_intervals = (t_ends - t_starts)[..., None]
+
+        positions = (rays_o_flat.reshape(R, 1, 3)
+                     + rays_d_flat.reshape(R, 1, 3) * t_mid)  # [R, S, 3]
+        t_dirs = jnp.broadcast_to(rays_d_flat.reshape(R, 1, 3),
+                                  positions.shape)
+        geo_out = self.geometry(
+            positions.reshape(B, n_rays_per * S, 3), space_cache,
+            output_normal=True)
+        sdf = geo_out["sdf"].reshape(R, S, 1)
+        normal = geo_out["normal"].reshape(R, S, 3)
+
+        if cfg.use_volsdf:
+            alpha = volsdf_alpha(sdf, t_intervals, inv_std)[..., 0]
+        else:
+            from ...ops.render import neus_alpha
+            alpha = neus_alpha(sdf, normal, t_dirs, t_intervals, inv_std,
+                               kwargs.get("cos_anneal_ratio", 1.0))[..., 0]
+
+        features = geo_out["features"].reshape(R, S, -1)
+        if light_positions is not None:
+            t_light = jnp.broadcast_to(
+                light_positions.reshape(B, 1, 1, 3),
+                (B, n_rays_per, S, 3)).reshape(R, S, 3)
+        else:
+            t_light = jnp.zeros_like(positions)
+        rgb_fg = self.material(
+            features=features, viewdirs=t_dirs, positions=positions,
+            light_positions=t_light,
+            shading_normal=geo_out["shading_normal"].reshape(R, S, 3))
+
+        bg_kwargs = {}
+        if getattr(self.background, "accepts_text_embed", False):
+            bg_kwargs["text_embed"] = text_embed
+        comp_rgb_bg = self.background(rays_d, train=train,
+                                      **bg_kwargs).reshape(R, -1)
+
+        weights = render_weights_from_alpha(alpha)
+        opacity = accumulate_along_rays(weights)
+        depth = accumulate_along_rays(weights, t_mid)
+        comp_rgb_fg = accumulate_along_rays(weights, rgb_fg)
+
+        w_norm = weights / jnp.clip(opacity, 1e-5)
+        z_mean = accumulate_along_rays(w_norm, t_mid)
+        z_var = accumulate_along_rays(w_norm, (t_mid - z_mean[:, None, :]) ** 2)
+        z_variance = z_var * (opacity > 0.5).astype(jnp.float32)
+
+        bg = comp_rgb_bg if bg_color is None else bg_color.reshape(R, -1)
+        comp_rgb = comp_rgb_fg + bg * (1.0 - opacity)
+
+        out = {
+            "comp_rgb": comp_rgb.reshape(B, H, W, -1),
+            "comp_rgb_fg": comp_rgb_fg.reshape(B, H, W, -1),
+            "comp_rgb_bg": comp_rgb_bg.reshape(B, H, W, -1),
+            "opacity": opacity.reshape(B, H, W, 1),
+            "depth": depth.reshape(B, H, W, 1),
+            "z_variance": z_variance.reshape(B, H, W, 1),
+            "inv_std": inv_std,
+            "space_cache": space_cache,
+        }
+        if train:
+            out.update({
+                "weights": weights[..., None],
+                "t_points": t_mid,
+                "t_intervals": t_intervals,
+                "t_dirs": t_dirs,
+                "points": positions,
+                "sdf": geo_out["sdf"],
+                "sdf_grad": geo_out["sdf_grad"],
+                "normal": normal.reshape(R, S, 3),
+                "features": features,
+            })
+        comp_normal = safe_normalize(accumulate_along_rays(weights, normal))
+        out["comp_normal"] = ((comp_normal + 1.0) / 2.0 * opacity
+                              ).reshape(B, H, W, 3)
+        return out

@@ -1,0 +1,1 @@
+from . import amortized, base, losses, optimizers, scaledreamer  # noqa: F401

@@ -1,0 +1,369 @@
+"""System base: component assembly + the single jitted train step.
+
+Parity target: reference `threestudio/systems/base.py:27-342`
+(BaseSystem/BaseLift3DSystem): builds geometry/material/background into a
+renderer, owns guidance + prompt processor, parses optimizer groups, exposes
+train/val/test behavior.
+
+TPU-native design (SURVEY.md §7.1): instead of PL hooks + Updateable walks,
+the system compiles ONE `train_step(state, guidance_params, batch, scalars,
+rng)` XLA program containing rendering, frozen-diffusion guidance, loss
+assembly and the optimizer update. All annealed quantities (loss lambdas,
+min/max t, grad clip, cos anneal) are traced scalar inputs evaluated
+host-side per step via C() — no retraces across the whole schedule.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .. import find
+from ..core.base import BaseObject
+from ..core.config import parse_structured
+from ..core.schedule import C
+from ..models.renderers.occupancy import (OccGridState, init_occgrid,
+                                          update_occgrid)
+from . import losses
+from .optimizers import parse_optimizer
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    occ_grid: Optional[OccGridState]
+    step: jnp.ndarray
+
+
+@dataclass
+class LossConfig:
+    lambda_asd: Any = 1.0
+    lambda_orient: Any = 0.0
+    lambda_sparsity: Any = 0.0
+    lambda_opaque: Any = 0.0
+    lambda_z_variance: Any = 0.0
+    lambda_eikonal: Any = 0.0
+    lambda_normal_consistency: Any = 0.0
+    lambda_laplacian_smoothness: Any = 0.0
+
+
+class BaseLift3DSystem(BaseObject):
+    @dataclass
+    class Config:
+        stage: str = "coarse"
+        geometry_type: str = ""
+        geometry: dict = field(default_factory=dict)
+        geometry_convert_from: Optional[str] = None
+        geometry_convert_inherit_texture: bool = False
+        geometry_convert_override: dict = field(default_factory=dict)
+        material_type: str = ""
+        material: dict = field(default_factory=dict)
+        background_type: str = ""
+        background: dict = field(default_factory=dict)
+        renderer_type: str = ""
+        renderer: dict = field(default_factory=dict)
+        guidance_type: str = ""
+        guidance: dict = field(default_factory=dict)
+        prompt_processor_type: str = ""
+        prompt_processor: dict = field(default_factory=dict)
+        loss: dict = field(default_factory=dict)
+        optimizer: dict = field(default_factory=dict)
+        scheduler: Optional[dict] = None
+        weights: Optional[str] = None
+        weights_ignore_modules: Optional[list] = None
+        cleanup_after_validation_step: bool = False
+        cleanup_after_test_step: bool = False
+        visualize_samples: bool = False
+        validation_via_video: bool = False
+        loggers: dict = field(default_factory=dict)
+
+    cfg: Config
+
+    def configure(self) -> None:
+        geo_cls = find(self.cfg.geometry_type)
+        mat_cls = find(self.cfg.material_type)
+        bg_cls = find(self.cfg.background_type)
+        rend_cls = find(self.cfg.renderer_type)
+        self.geometry = geo_cls(
+            cfg=parse_structured(geo_cls.Config, self.cfg.geometry))
+        self.material = mat_cls(
+            cfg=parse_structured(mat_cls.Config, self.cfg.material))
+        self.background = bg_cls(
+            cfg=parse_structured(bg_cls.Config, self.cfg.background))
+        self.renderer = rend_cls(
+            cfg=parse_structured(rend_cls.Config, self.cfg.renderer),
+            geometry=self.geometry, material=self.material,
+            background=self.background)
+        self.loss_cfg = parse_structured(LossConfig, self.cfg.loss)
+        self.guidance = None
+        self.prompt_processor = None
+        self.prompt_utils = None
+        self.guidance_params = None
+
+    # ------------------------------------------------------------------
+    def on_fit_start(self, rng: jax.Array) -> None:
+        """Build guidance + prompt processor (reference
+        scaledreamer.py:38-45 / on_fit_start)."""
+        if self.guidance is None:
+            g_cls = find(self.cfg.guidance_type)
+            self.guidance = g_cls(
+                cfg=parse_structured(g_cls.Config, self.cfg.guidance))
+            self.guidance_params = self.guidance.init_params(rng)
+        if self.prompt_processor is None and self.cfg.prompt_processor_type:
+            p_cls = find(self.cfg.prompt_processor_type)
+            self.prompt_processor = p_cls(
+                cfg=parse_structured(p_cls.Config, self.cfg.prompt_processor))
+            self.prompt_utils = self._static_prompt_utils()
+
+    def _static_prompt_utils(self):
+        """Single-prompt systems compute prompt_utils once at fit start
+        (reference scaledreamer.py:38-45); amortized systems return None and
+        build per-batch utils instead."""
+        return self.prompt_processor()
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
+        rngs = {"params": rng, "sampling": jax.random.fold_in(rng, 1),
+                "aug": jax.random.fold_in(rng, 2),
+                "noise": jax.random.fold_in(rng, 3)}
+        variables = self.renderer.init(
+            rngs, jnp.asarray(sample_batch["rays_o"]),
+            jnp.asarray(sample_batch["rays_d"]),
+            light_positions=jnp.asarray(sample_batch["light_positions"]),
+            train=True)
+        params = variables["params"]
+        if self.cfg.weights is not None:
+            params = self.load_weights(params, self.cfg.weights)
+        tx = parse_optimizer(self.cfg.optimizer, params)
+        self.tx = tx
+        opt_state = tx.init(params)
+        occ = None
+        rcfg = self.renderer.cfg
+        if getattr(rcfg, "estimator", None) == "occgrid":
+            occ = init_occgrid(rcfg.grid_resolution, rcfg.radius)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        logger.info("Initialized system with %.2fM parameters",
+                    n_params / 1e6)
+        return TrainState(params, opt_state, occ, jnp.zeros([], jnp.int32))
+
+    def load_weights(self, params, path: str):
+        """Weights-only init (reference systems/base.py:52-62)."""
+        import flax.serialization as ser
+        with open(path, "rb") as f:
+            loaded = ser.from_bytes({"params": params}, f.read())
+        return loaded["params"]
+
+    # ------------------------------------------------------------------
+    def schedule_scalars(self, epoch: int, global_step: int) -> Dict[str, np.ndarray]:
+        """Evaluate every C()-scheduled scalar host-side (one dict of
+        np scalars -> traced jit inputs)."""
+        out = {}
+        for name in ("lambda_asd", "lambda_orient", "lambda_sparsity",
+                     "lambda_opaque", "lambda_z_variance", "lambda_eikonal"):
+            out[name] = np.float32(
+                C(getattr(self.loss_cfg, name), epoch, global_step))
+        for k, v in self.guidance.schedule_scalars(epoch, global_step).items():
+            out[k] = np.float32(v)
+        rcfg = self.renderer.cfg
+        if getattr(rcfg, "cos_anneal_end_steps", 0):
+            out["cos_anneal_ratio"] = np.float32(
+                min(1.0, global_step / rcfg.cos_anneal_end_steps))
+        else:
+            out["cos_anneal_ratio"] = np.float32(1.0)
+        return out
+
+    # ------------------------------------------------------------------
+    def compute_regularization_losses(self, out: Dict, scalars: Dict,
+                                      metrics: Dict) -> jnp.ndarray:
+        loss = 0.0
+        if "coarse" in self.cfg.stage:
+            if not _sched_is_zero(self.loss_cfg.lambda_orient) and "normal" in out:
+                l = losses.orient_loss(out["weights"], out["normal"],
+                                       out["t_dirs"], out["opacity"])
+                metrics["loss_orient"] = l
+                loss = loss + l * scalars["lambda_orient"]
+            if not _sched_is_zero(self.loss_cfg.lambda_sparsity):
+                l = losses.sparsity_loss(out["opacity"])
+                metrics["loss_sparsity"] = l
+                loss = loss + l * scalars["lambda_sparsity"]
+            if not _sched_is_zero(self.loss_cfg.lambda_opaque):
+                l = losses.opaque_loss(out["opacity"])
+                metrics["loss_opaque"] = l
+                loss = loss + l * scalars["lambda_opaque"]
+            if not _sched_is_zero(self.loss_cfg.lambda_z_variance):
+                l = losses.z_variance_loss(out["z_variance"], out["opacity"])
+                metrics["loss_z_variance"] = l
+                loss = loss + l * scalars["lambda_z_variance"]
+            if not _sched_is_zero(self.loss_cfg.lambda_eikonal) and \
+                    "sdf_grad" in out:
+                l = losses.eikonal_loss(out["sdf_grad"])
+                metrics["loss_eikonal"] = l
+                loss = loss + l * scalars["lambda_eikonal"]
+        return loss
+
+    # ------------------------------------------------------------------
+    def prepare_batch(self, batch: Dict) -> Dict:
+        """Host-side batch augmentation before the jitted step (overridden by
+        the amortized system to inject per-prompt embedding arrays)."""
+        return batch
+
+    def build_prompt_utils(self, batch: Dict):
+        """Prompt utils for this step; base systems use the static
+        single-prompt output (reference scaledreamer.py:38-45)."""
+        return self.prompt_utils
+
+    def render_kwargs(self, batch: Dict) -> Dict:
+        """Extra traced kwargs for the renderer (amortized: noise/text_embed)."""
+        return {}
+
+    def make_train_step(self, mesh=None):
+        """Build the jitted train step. With a Mesh, batch is sharded over
+        the 'data' axis and params replicated (GSPMD inserts the grad psum)."""
+        renderer = self.renderer
+        guidance = self.guidance
+        tx = self.tx
+        guidance_call = guidance.__call__
+
+        def train_step(state: TrainState, guidance_params, batch, scalars,
+                       rng):
+            k_render, k_aug, k_guidance, k_noise = jax.random.split(rng, 4)
+            prompt_utils = self.build_prompt_utils(batch)
+
+            def loss_fn(params):
+                out = renderer.apply(
+                    {"params": params},
+                    batch["rays_o"], batch["rays_d"],
+                    light_positions=batch["light_positions"],
+                    occ_grid=state.occ_grid, train=True,
+                    cos_anneal_ratio=scalars.get("cos_anneal_ratio", 1.0),
+                    rngs={"sampling": k_render, "aug": k_aug,
+                          "noise": k_noise},
+                    **self.render_kwargs(batch))
+                g_out = guidance_call(
+                    guidance_params, k_guidance, out["comp_rgb"],
+                    prompt_utils,
+                    elevation=batch["elevation"], azimuth=batch["azimuth"],
+                    camera_distances=batch["camera_distances"],
+                    min_step_percent=scalars["min_step_percent"],
+                    max_step_percent=scalars["max_step_percent"],
+                    grad_clip_val=scalars.get("grad_clip_val"),
+                    c2w=batch.get("c2w"), fovy=batch.get("fovy"))
+                metrics = {"loss_asd": g_out["loss_asd"],
+                           "grad_norm": g_out["grad_norm"]}
+                loss = g_out["loss_asd"] * scalars["lambda_asd"]
+                loss = loss + self.compute_regularization_losses(
+                    out, scalars, metrics)
+                metrics["loss"] = loss
+                return loss, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_opt_state, state.occ_grid,
+                                   state.step + 1)
+            return new_state, metrics
+
+        donate = (0,)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            batch_sharding = {
+                "rays_o": data, "rays_d": data, "light_positions": data,
+                "elevation": data, "azimuth": data, "camera_distances": data,
+            }
+            return jax.jit(
+                train_step, donate_argnums=donate,
+                in_shardings=(None, None, batch_sharding, None, repl),
+                out_shardings=None)
+        return jax.jit(train_step, donate_argnums=donate)
+
+    # ------------------------------------------------------------------
+    def make_occgrid_update(self):
+        renderer = self.renderer
+        rcfg = renderer.cfg
+        geometry = self.geometry
+
+        if getattr(rcfg, "estimator", None) != "occgrid":
+            return None
+        render_step_size = 1.732 * 2 * rcfg.radius / rcfg.num_samples_per_ray
+
+        def occ_update(state: TrainState, rng):
+            def density_fn(pts):
+                if hasattr(geometry, "forward_sdf"):
+                    # SDF geometry: use volsdf density proxy with fixed scale
+                    from ..ops.render import volsdf_density
+                    sdf = geometry.apply({"params": state.params["geometry"]},
+                                         pts, method=geometry.forward_sdf)
+                    return volsdf_density(sdf, 30.0)
+                return geometry.apply({"params": state.params["geometry"]},
+                                      pts, method=geometry.forward_density)
+
+            occ = update_occgrid(state.occ_grid, density_fn, rng,
+                                 rcfg.grid_resolution, rcfg.radius,
+                                 render_step_size)
+            return state._replace(occ_grid=occ)
+
+        return jax.jit(occ_update, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def make_eval_render(self, chunk_rays: int = 65536):
+        """Chunked full-image eval renderer (reference eval_chunk_size)."""
+        renderer = self.renderer
+
+        @jax.jit
+        def render_chunk(params, rays_o, rays_d, light_positions):
+            return renderer.apply(
+                {"params": params}, rays_o, rays_d,
+                light_positions=light_positions, train=False)
+
+        def render(params, batch):
+            B, H, W, _ = batch["rays_o"].shape
+            n = H * W
+            rays_o = np.asarray(batch["rays_o"]).reshape(B * n, 3)
+            rays_d = np.asarray(batch["rays_d"]).reshape(B * n, 3)
+            light = np.asarray(batch["light_positions"])
+            assert B == 1, "eval renders one camera at a time"
+            chunks = []
+            total = rays_o.shape[0]
+            csize = min(chunk_rays, total)
+            n_chunks = (total + csize - 1) // csize
+            pad = n_chunks * csize - total
+            if pad:
+                rays_o = np.concatenate([rays_o, rays_o[:pad]], 0)
+                rays_d = np.concatenate([rays_d, rays_d[:pad]], 0)
+            outs = []
+            for i in range(n_chunks):
+                ro = jnp.asarray(rays_o[i * csize:(i + 1) * csize]
+                                 ).reshape(1, csize, 1, 3)
+                rd = jnp.asarray(rays_d[i * csize:(i + 1) * csize]
+                                 ).reshape(1, csize, 1, 3)
+                outs.append(render_chunk(params, ro, rd, jnp.asarray(light)))
+            merged = {}
+            for k in ("comp_rgb", "opacity", "depth", "comp_normal"):
+                if k in outs[0]:
+                    v = np.concatenate(
+                        [np.asarray(o[k]).reshape(csize, -1) for o in outs], 0)
+                    if pad:
+                        v = v[:-pad]
+                    merged[k] = v.reshape(H, W, -1)
+            return merged
+
+        return render
+
+
+def _sched_is_zero(spec) -> bool:
+    """True if a C() spec is identically zero (branch pruned at trace time)."""
+    if isinstance(spec, (int, float)):
+        return spec == 0
+    return False

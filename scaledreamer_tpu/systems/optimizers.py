@@ -1,0 +1,161 @@
+"""Optimizers: per-module param groups + Adan, on optax.
+
+Parity targets:
+- `parse_optimizer` per-module dotted param groups
+  (reference threestudio/systems/utils.py:25-53): only modules listed under
+  `optimizer.params` are optimized; unlisted parameters are FROZEN (the
+  reference simply never passes them to the optimizer).
+- `Adan` (reference threestudio/systems/optimizers.py:23-315) — three EMAs +
+  gradient-difference term; the torch `_foreach` fused path maps to optax's
+  natively-fused pytree updates on TPU (SURVEY.md §2.3 N8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AdanState(NamedTuple):
+    count: jnp.ndarray
+    exp_avg: Any        # m: EMA of grads
+    exp_avg_diff: Any   # v: EMA of grad differences
+    exp_avg_sq: Any     # n: EMA of (g + (1-b2)*diff)^2
+    prev_grad: Any
+
+
+def adan(learning_rate: float, b1: float = 0.98, b2: float = 0.92,
+         b3: float = 0.99, eps: float = 1e-8,
+         weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Adan (Xie et al. 2022), matching the reference's single-tensor math
+    (threestudio/systems/optimizers.py:152-254, no_prox=False)."""
+
+    def init_fn(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return AdanState(jnp.zeros([], jnp.int32), zeros,
+                         jax.tree.map(jnp.zeros_like, params),
+                         jax.tree.map(jnp.zeros_like, params),
+                         jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(grads, state, params):
+        count = state.count + 1
+        # on the first step diff = 0 (prev_grad initialized to grad)
+        is_first = (count == 1)
+        prev = jax.tree.map(
+            lambda g, p: jnp.where(is_first, g, p), grads, state.prev_grad)
+        diff = jax.tree.map(lambda g, p: g - p, grads, prev)
+
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        bc3 = 1.0 - b3 ** count.astype(jnp.float32)
+
+        m = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                         state.exp_avg, grads)
+        v = jax.tree.map(lambda v, d: b2 * v + (1 - b2) * d,
+                         state.exp_avg_diff, diff)
+        upd = jax.tree.map(lambda g, d: g + (1 - b2) * d, grads, diff)
+        n = jax.tree.map(lambda n, u: b3 * n + (1 - b3) * u * u,
+                         state.exp_avg_sq, upd)
+
+        def step(m_, v_, n_, p_):
+            denom = jnp.sqrt(n_ / bc3) + eps
+            update = (m_ / bc1 + (1 - b2) * v_ / bc2) / denom
+            new_p = p_ - learning_rate * update
+            # decoupled weight decay (proximal form): p /= (1 + lr*wd)
+            if weight_decay > 0:
+                new_p = new_p / (1.0 + learning_rate * weight_decay)
+            return new_p - p_
+
+        updates = jax.tree.map(step, m, v, n, params)
+        return updates, AdanState(count, m, v, n, grads)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _make_single_optimizer(name: str, lr: float, args: Dict) -> optax.GradientTransformation:
+    name = name.lower()
+    betas = args.get("betas", (0.9, 0.999))
+    eps = args.get("eps", 1e-8)
+    wd = args.get("weight_decay", 0.0)
+    if name in ("adamw", "fusedadam"):
+        return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps,
+                           weight_decay=wd)
+    if name == "adam":
+        return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
+    if name == "adan":
+        b = args.get("betas", (0.98, 0.92, 0.99))
+        return adan(lr, b1=b[0], b2=b[1], b3=b[2], eps=eps, weight_decay=wd)
+    if name == "sgd":
+        return optax.sgd(lr, momentum=args.get("momentum", 0.0))
+    raise ValueError(f"Unknown optimizer: {name}")
+
+
+def _path_to_dotted(path) -> str:
+    parts = []
+    for p in path:
+        key = getattr(p, "key", getattr(p, "name", None))
+        parts.append(str(key) if key is not None else str(p))
+    return ".".join(parts)
+
+
+def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation:
+    """Build optax transform honoring the reference per-module group spec.
+
+    optimizer_cfg: {name, args: {lr, betas, eps, ...},
+                    params: {dotted.module.prefix: {lr: ...}, ...}}
+    When `params` is given, leaves not under any listed prefix are frozen
+    (reference systems/utils.py:34-42 passes only listed groups to torch).
+    """
+    name = optimizer_cfg.get("name", "AdamW")
+    args = dict(optimizer_cfg.get("args", {}))
+    groups: Optional[Dict] = optimizer_cfg.get("params")
+
+    if not groups:
+        lr = args.get("lr", 1e-3)
+        return _make_single_optimizer(name, lr, args)
+
+    transforms = {}
+    prefixes = []
+    for gname, gargs in groups.items():
+        gall = {**args, **(gargs or {})}
+        lr = gall.get("lr", args.get("lr", 1e-3))
+        transforms[gname] = _make_single_optimizer(name, lr, gall)
+        prefixes.append(gname)
+    transforms["__frozen__"] = optax.set_to_zero()
+
+    def label_fn(tree):
+        def label_of(path):
+            dotted = _path_to_dotted(path)
+            best = None
+            for p in prefixes:
+                if dotted == p or dotted.startswith(p + "."):
+                    if best is None or len(p) > len(best):
+                        best = p
+            return best if best is not None else "__frozen__"
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: label_of(path), tree)
+
+    return optax.multi_transform(transforms, label_fn)
+
+
+def parse_scheduler(scheduler_cfg: Optional[Dict], base_lr: float):
+    """LR schedule factory (subset of reference parse_scheduler,
+    systems/utils.py:56-114): exp decay + linear warmup variants."""
+    if scheduler_cfg is None:
+        return None
+    name = scheduler_cfg.get("name", "")
+    args = scheduler_cfg.get("args", {})
+    if name.lower() == "exponentiallr":
+        gamma = args.get("gamma", 1.0)
+        return lambda step: base_lr * (gamma ** step)
+    if name.lower() == "linearlr":
+        start = args.get("start_factor", 1.0)
+        end = args.get("end_factor", 1.0)
+        total = args.get("total_iters", 1)
+        return lambda step: base_lr * (
+            start + (end - start) * min(1.0, step / total))
+    raise ValueError(f"Unknown scheduler: {name}")

@@ -1,0 +1,253 @@
+"""Training loop — replaces pytorch_lightning.Trainer.
+
+Parity surface (reference launch.py:233-261 + PL semantics the configs rely
+on): max_steps, val_check_interval, log_every_n_steps, checkpoint
+(save_last / every_n_train_steps), resume, validation/test orbit rendering
+with grid + mp4 artifacts, CSV metrics logging.
+
+TPU-native behavior:
+- one jitted train step; host work per step is camera sampling (NumPy) and
+  scalar schedule evaluation,
+- metrics are fetched with a 1-step lag (the previous step's device values
+  are read while the current step runs) so logging never stalls the device,
+- occupancy-grid updates run as a separate jitted fn every
+  `occ_update_interval` steps (nerfacc update_every_n_steps parity).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .core.base import update_if_possible
+from .core.config import parse_structured
+from .core.saving import render_row_from_output, save_image_grid, save_video
+
+logger = logging.getLogger(__name__)
+
+
+def _prompt_subdir(batch) -> str:
+    prompts = batch.get("prompt")
+    if not prompts:
+        return ""
+    return str(prompts[0]).replace(" ", "_").replace("/", "_")[:120]
+
+
+@dataclass
+class TrainerConfig:
+    max_steps: int = 10000
+    log_every_n_steps: int = 50
+    num_sanity_val_steps: int = 0
+    val_check_interval: int = 1000
+    enable_progress_bar: bool = True
+    precision: object = 32
+    accumulate_grad_batches: int = 1
+    occ_update_interval: int = 16
+    strategy: str = ""
+    check_val_every_n_epoch: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+
+
+@dataclass
+class CheckpointConfig:
+    save_last: bool = True
+    save_top_k: int = -1
+    every_n_train_steps: int = 0
+
+
+class Trainer:
+    def __init__(self, system, datamodule, trainer_cfg: dict,
+                 checkpoint_cfg: dict, trial_dir: str, seed: int = 0):
+        self.system = system
+        self.dm = datamodule
+        self.cfg = parse_structured(TrainerConfig, trainer_cfg)
+        self.ckpt_cfg = parse_structured(CheckpointConfig, checkpoint_cfg)
+        self.trial_dir = trial_dir
+        self.save_dir = os.path.join(trial_dir, "save")
+        self.ckpt_dir = os.path.join(trial_dir, "ckpts")
+        os.makedirs(self.save_dir, exist_ok=True)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.seed = seed
+        self.global_step = 0
+        self._csv_path = os.path.join(trial_dir, "metrics.csv")
+        self._csv_keys = None
+
+    # ------------------------------------------------------------------
+    def fit(self, resume: Optional[str] = None):
+        rng = jax.random.PRNGKey(self.seed + jax.process_index())
+        self.dm.setup("fit")
+        self.system.on_fit_start(jax.random.fold_in(rng, 999))
+
+        dataset = self.dm.train_dataset
+        update_if_possible(dataset, 0, self.global_step)
+        batch = self.dm.train_batch()
+        state = self.system.init_state(jax.random.fold_in(rng, 0), batch)
+        if resume:
+            state, self.global_step = self.load_checkpoint(resume, state)
+
+        train_step = self.system.make_train_step()
+        occ_update = self.system.make_occgrid_update()
+        guidance_params = self.system.guidance_params
+
+        pending_metrics = None
+        pending_step = -1
+        t_start = time.perf_counter()
+        steps_done = 0
+        cur_shape = None
+
+        while self.global_step < self.cfg.max_steps:
+            step = self.global_step
+            update_if_possible(dataset, 0, step)
+            batch = self.system.prepare_batch(self.dm.train_batch())
+            shape = batch["rays_o"].shape
+            if shape != cur_shape and cur_shape is not None:
+                logger.info("Resolution milestone: %s -> %s (recompiling)",
+                            cur_shape, shape)
+            cur_shape = shape
+            scalars = self.system.schedule_scalars(0, step)
+            step_rng = jax.random.fold_in(rng, step)
+
+            if occ_update is not None and state.occ_grid is not None and \
+                    step % self.cfg.occ_update_interval == 0 and step > 0:
+                state = occ_update(state, jax.random.fold_in(step_rng, 7))
+
+            jb = {k: v for k, v in batch.items()
+                  if isinstance(v, (np.ndarray, jax.Array))}
+            state, metrics = train_step(state, guidance_params, jb, scalars,
+                                        step_rng)
+            self.global_step += 1
+            steps_done += 1
+
+            if pending_metrics is not None and \
+                    pending_step % self.cfg.log_every_n_steps == 0:
+                self._log_metrics(pending_step, pending_metrics, t_start,
+                                  steps_done)
+            pending_metrics, pending_step = metrics, step
+
+            if self.cfg.val_check_interval and \
+                    self.global_step % self.cfg.val_check_interval == 0:
+                self.validate(state)
+            if self.ckpt_cfg.every_n_train_steps and \
+                    self.global_step % self.ckpt_cfg.every_n_train_steps == 0:
+                self.save_checkpoint(state, f"step{self.global_step}.ckpt")
+
+        jax.block_until_ready(state.params)
+        if pending_metrics is not None:
+            self._log_metrics(pending_step, pending_metrics, t_start,
+                              steps_done)
+        if self.ckpt_cfg.save_last:
+            self.save_checkpoint(state, "last.ckpt")
+        self.state = state
+        elapsed = time.perf_counter() - t_start
+        logger.info("Training done: %d steps in %.1fs (%.2f it/s)",
+                    steps_done, elapsed, steps_done / max(elapsed, 1e-9))
+        return state
+
+    # ------------------------------------------------------------------
+    def _log_metrics(self, step, metrics, t_start, steps_done):
+        vals = {k: float(np.asarray(v)) for k, v in metrics.items()
+                if np.asarray(v).size == 1}
+        vals["step"] = step
+        vals["iters_per_sec"] = steps_done / max(
+            time.perf_counter() - t_start, 1e-9)
+        if self._csv_keys is None:
+            self._csv_keys = list(vals)
+            with open(self._csv_path, "w", newline="") as f:
+                csv.writer(f).writerow(self._csv_keys)
+        with open(self._csv_path, "a", newline="") as f:
+            csv.writer(f).writerow([vals.get(k, "") for k in self._csv_keys])
+        if self.cfg.enable_progress_bar:
+            msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items()
+                           if k in ("loss", "loss_asd", "iters_per_sec"))
+            logger.info("step %d | %s", step, msg)
+
+    # ------------------------------------------------------------------
+    def validate(self, state=None, tag: Optional[str] = None):
+        state = state if state is not None else self.state
+        self.dm.setup("validate")
+        render = self.system.make_eval_render()
+        ds = self.dm.val_dataset
+        tag = tag or f"it{self.global_step}-val"
+        frames = []
+        for i, batch in enumerate(ds):
+            batch = self.system.prepare_batch(batch)
+            out = render(state.params, batch)
+            row = render_row_from_output(out)
+            sub = _prompt_subdir(batch)
+            save_image_grid(
+                os.path.join(self.save_dir, tag, sub, f"{i}.png"), [row])
+            frames.append(np.concatenate(row, axis=1))
+        if self.system.cfg.validation_via_video and frames and \
+                jax.process_index() == 0:
+            save_video(os.path.join(self.save_dir, f"{tag}.mp4"), frames)
+        return frames
+
+    def test(self, state=None, tag: Optional[str] = None):
+        state = state if state is not None else self.state
+        self.dm.setup("test")
+        render = self.system.make_eval_render()
+        ds = self.dm.test_dataset
+        tag = tag or f"it{self.global_step}-test"
+        frames = []
+        per_prompt = {}
+        for i, batch in enumerate(ds):
+            batch = self.system.prepare_batch(batch)
+            out = render(state.params, batch)
+            rgb = np.asarray(out["comp_rgb"])
+            sub = _prompt_subdir(batch)
+            idx = len(per_prompt.setdefault(sub, []))
+            per_prompt[sub].append(rgb)
+            save_image_grid(
+                os.path.join(self.save_dir, tag, sub, f"{idx}.png"), [[rgb]])
+            frames.append(rgb)
+        if frames and jax.process_index() == 0:
+            # per-prompt videos (reference rank-0 video assembly :377-396)
+            if len(per_prompt) > 1:
+                for sub, fr in per_prompt.items():
+                    save_video(
+                        os.path.join(self.save_dir, tag, sub, "video.mp4"),
+                        fr)
+            save_video(os.path.join(self.save_dir, f"{tag}.mp4"), frames)
+        return frames
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, state, name: str):
+        import flax.serialization as ser
+        path = os.path.join(self.ckpt_dir, name)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "occ_grid": state.occ_grid,
+            "step": self.global_step,
+        }
+        with open(path, "wb") as f:
+            f.write(ser.to_bytes(payload))
+        with open(path + ".meta.json", "w") as f:
+            json.dump({"global_step": self.global_step}, f)
+        logger.info("Saved checkpoint %s", path)
+
+    def load_checkpoint(self, path: str, state):
+        import flax.serialization as ser
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "occ_grid": state.occ_grid,
+            "step": 0,
+        }
+        with open(path, "rb") as f:
+            loaded = ser.from_bytes(template, f.read())
+        from .systems.base import TrainState
+        import jax.numpy as jnp
+        step = int(loaded["step"])
+        new_state = TrainState(loaded["params"], loaded["opt_state"],
+                               loaded["occ_grid"], jnp.asarray(step))
+        logger.info("Resumed from %s at step %d", path, step)
+        return new_state, step

@@ -1,0 +1,4 @@
+python launch.py \
+    --config configs/multi-prompt_benchmark/asd_sd_3dconv_net_300k.yaml \
+    --train \
+    system.prompt_processor.prompt_library="cap3d_100k_prompt_library"

@@ -1,0 +1,4 @@
+python launch.py \
+    --config configs/multi-prompt_benchmark/asd_sd_3dconv_net_100k.yaml \
+    --train \
+    system.prompt_processor.prompt_library="dreamfusion_415_prompt_library"

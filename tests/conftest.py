@@ -14,8 +14,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS; pin the default device to host CPU so unit tests run
+# locally (the virtual 8-device CPU mesh is still available via
+# jax.devices("cpu")).
+try:
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+except Exception:
+    pass
 
 
 @pytest.fixture

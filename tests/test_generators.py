@@ -1,0 +1,243 @@
+"""Tests: 3DConv-net, Triplane-Transformer, multiview data, MVDream guidance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import scaledreamer_tpu as sd
+from scaledreamer_tpu.core.config import parse_structured
+from scaledreamer_tpu.models.geometry.conv3d_modules import (
+    FullyConnectedLayer, MappingNetwork, modulated_conv3d)
+from scaledreamer_tpu.models.geometry.triplane_transformer import (
+    TriplaneTransformer, sample_from_planes)
+from scaledreamer_tpu.models.guidance.mvdream_asd import normalize_camera
+from scaledreamer_tpu.ops.grid_sample import (grid_sample_2d, grid_sample_3d,
+                                              upsample_3d_align_corners)
+
+sd.ensure_builtins()
+
+
+# ------------------------------------------------------------- grid sample
+def test_grid_sample_2d_center_and_corner():
+    img = jnp.arange(16.0).reshape(1, 4, 4, 1)
+    # center of image with align_corners=False: avg of middle 4 pixels
+    out = grid_sample_2d(img, jnp.zeros((1, 1, 2)))
+    expected = (5 + 6 + 9 + 10) / 4
+    assert float(out[0, 0, 0]) == pytest.approx(expected)
+    # far outside -> zero padding
+    out = grid_sample_2d(img, jnp.full((1, 1, 2), 3.0))
+    assert float(out[0, 0, 0]) == 0.0
+
+
+def test_grid_sample_3d_trilinear():
+    vol = jnp.ones((1, 4, 4, 4, 2)) * 7.0
+    out = grid_sample_3d(vol, jnp.zeros((1, 5, 3)))
+    assert out.shape == (1, 5, 2)
+    assert np.allclose(np.asarray(out), 7.0, atol=1e-5)
+
+
+def test_upsample_3d_align_corners():
+    x = jnp.arange(2.0).reshape(1, 2, 1, 1, 1)
+    x = jnp.broadcast_to(x, (1, 2, 2, 2, 1))
+    up = upsample_3d_align_corners(x, 2)
+    assert up.shape == (1, 4, 4, 4, 1)
+    # endpoints preserved (align_corners)
+    assert float(up[0, 0, 0, 0, 0]) == 0.0
+    assert float(up[0, 3, 0, 0, 0]) == 1.0
+
+
+# ------------------------------------------------------------- 3dconv parts
+def test_equalized_lr_dense(jax_key):
+    layer = FullyConnectedLayer(features=8, activation="lrelu")
+    x = jnp.ones((3, 4))
+    params = layer.init(jax_key, x)
+    y = layer.apply(params, x)
+    assert y.shape == (3, 8)
+
+
+def test_mapping_network_broadcast(jax_key):
+    net = MappingNetwork(z_dim=16, c_dim=8, w_dim=32, num_ws=5, num_layers=2)
+    z = jax.random.normal(jax_key, (2, 16))
+    c = jnp.ones((2, 8))
+    params = net.init(jax_key, z, c)
+    ws = net.apply(params, z, c)
+    assert ws.shape == (2, 5, 32)
+    assert np.allclose(np.asarray(ws[:, 0]), np.asarray(ws[:, 1]))
+
+
+def test_modulated_conv3d_demod(jax_key):
+    x = jax.random.normal(jax_key, (2, 4, 4, 4, 3))
+    w = jax.random.normal(jax.random.PRNGKey(1), (5, 3, 3, 3, 3))
+    styles = jnp.ones((2, 3))
+    out = modulated_conv3d(x, w, styles, padding=1)
+    assert out.shape == (2, 4, 4, 4, 5)
+
+
+def _tiny_conv3d_geometry():
+    Geo = sd.find("3DConv-net")
+    cfg = parse_structured(Geo.Config, {
+        "radius": 1.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+        "normal_type": "finite_difference",
+        "space_generator_config": {
+            "z_dim": 8, "w_dim": 16, "c_dim": 12, "num_layers": 1,
+            "img_resolution": 16, "img_channels": 4,
+            "channel_multiplier": 1},
+        "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
+                               "n_hidden_layers": 1,
+                               "output_activation": "none"},
+    })
+    return Geo(cfg=cfg)
+
+
+def test_conv3d_net_end_to_end(jax_key):
+    geo = _tiny_conv3d_geometry()
+    z = jax.random.normal(jax_key, (2, 8))
+    text = jax.random.normal(jax.random.PRNGKey(1), (2, 12))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (2, 10, 3),
+                             minval=-1, maxval=1)
+    params = geo.init({"params": jax_key, "noise": jax.random.PRNGKey(3)},
+                      pts, text, styles=z, method=geo.init_all)
+    cache = geo.apply(params, styles=z, text_embed=text,
+                      method=geo.generate_space_cache,
+                      rngs={"noise": jax.random.PRNGKey(4)})
+    assert cache.shape == (2, 16, 16, 16, 4)
+    out = geo.apply(params, pts, cache, output_normal=True)
+    assert out["sdf"].shape == (20, 1)
+    assert out["normal"].shape == (20, 3)
+    # sphere bias contributes at init (generator output adds on top)
+    sdf = np.asarray(out["sdf"]).reshape(2, 10)
+    expected = np.linalg.norm(np.asarray(pts), axis=-1) - 0.5
+    assert np.isfinite(sdf).all()
+    assert np.corrcoef(sdf.ravel(), expected.ravel())[0, 1] > 0.0
+
+
+# ------------------------------------------------------------- triplane
+def test_sample_from_planes_layout():
+    B, H, W, C = 1, 4, 4, 2
+    planes = jnp.stack([jnp.full((B, H, W, C), i, jnp.float32)
+                        for i in range(3)], axis=1)
+    out = sample_from_planes(planes, jnp.zeros((B, 3, 3)))
+    assert out.shape == (1, 3, 6)
+    # concat order: plane0 feats, plane1 feats, plane2 feats
+    assert np.allclose(np.asarray(out[0, 0]), [0, 0, 1, 1, 2, 2])
+
+
+def test_triplane_transformer_shapes(jax_key):
+    net = TriplaneTransformer(
+        inner_dim=32, condition_dim=24, triplane_low_res=4,
+        triplane_high_res=8, triplane_dim=6, num_layers=2, num_heads=4,
+        local_text=True)
+    text = jax.random.normal(jax_key, (2, 7, 24))
+    params = net.init(jax_key, text)
+    out = net.apply(params, text)
+    assert out.shape == (2, 3, 8, 8, 6)
+
+
+def test_triplane_geometry_end_to_end(jax_key):
+    Geo = sd.find("Triplane-transformer-sdf")
+    cfg = parse_structured(Geo.Config, {
+        "radius": 1.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+        "normal_type": "finite_difference",
+        "space_generator_config": {
+            "inner_dim": 32, "condition_dim": 24, "triplane_low_res": 4,
+            "triplane_high_res": 8, "triplane_dim": 6, "num_layers": 2,
+            "num_heads": 4, "local_text": False, "mlp_ratio": 2},
+        "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
+                               "n_hidden_layers": 2,
+                               "output_activation": "none"},
+    })
+    geo = Geo(cfg=cfg)
+    text = jax.random.normal(jax_key, (2, 24))  # global embedding variant
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (2, 12, 3),
+                             minval=-1, maxval=1)
+    params = geo.init(jax_key, pts, text, method=geo.init_all)
+    cache = geo.apply(params, text_embed=text,
+                      method=geo.generate_space_cache)
+    assert cache.shape == (2, 3, 8, 8, 6)
+    out = geo.apply(params, pts, cache, output_normal=True)
+    assert out["sdf"].shape == (24, 1)
+    assert out["features"].shape == (24, 3)
+
+
+# ------------------------------------------------------------- multiview
+def test_multiview_datamodule_shared_scene_params():
+    DM = sd.find("mvdream-random-multiview-camera-datamodule")
+    dm = DM(cfg=parse_structured(DM.Config, {
+        "batch_size": 8, "n_view": 4, "width": 8, "height": 8,
+        "relative_radius": True}), seed=0)
+    dm.setup("fit")
+    b = dm.train_batch()
+    assert b["rays_o"].shape == (8, 8, 8, 3)
+    el = b["elevation"].reshape(2, 4)
+    assert np.allclose(el, el[:, :1])  # shared per scene
+    az = b["azimuth"].reshape(2, 4)
+    # evenly spread: consecutive views differ by 360/4 = 90
+    assert np.allclose(np.diff(az, axis=1), 90.0, atol=1e-4)
+    d = b["camera_distances"].reshape(2, 4)
+    assert np.allclose(d, d[:, :1])
+
+
+def test_multiview_multiprompt_datamodule(tmp_path):
+    import json
+    lib = {"train": ["a", "b", "c"], "val": ["a"], "test": ["a"]}
+    (tmp_path / "lib.json").write_text(json.dumps(lib))
+    DM = sd.find("multiprompt-multiview-camera-datamodule")
+    dm = DM(cfg=parse_structured(DM.Config, {
+        "batch_size": 8, "n_view": 4, "width": 8, "height": 8,
+        "dim_gaussian": 4, "prompt_library": "lib",
+        "prompt_library_dir": str(tmp_path)}), seed=0)
+    dm.setup("fit")
+    b = dm.train_batch()
+    assert len(b["prompt"]) == 2      # one prompt per scene
+    assert b["noise"].shape == (2, 4)  # one noise per scene
+    assert b["rays_o"].shape[0] == 8
+
+
+# ------------------------------------------------------------- mvdream
+def test_normalize_camera():
+    c2w = jnp.eye(4)[None].at[:, :3, 3].set(jnp.array([[3.0, 4.0, 0.0]]))
+    out = normalize_camera(c2w)
+    assert out.shape == (1, 16)
+    m = out.reshape(4, 4)
+    assert float(jnp.linalg.norm(m[:3, 3])) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mvdream_guidance_tiny(jax_key):
+    G = sd.find("mvdream-asynchronous-score-distillation-guidance")
+    g = G(cfg=parse_structured(G.Config, {
+        "ckpt_path": None, "n_view": 4,
+        "unet_block_channels": [32, 32, 32, 32],
+        "vae_block_channels": [32, 32, 32, 32],
+        "cross_attention_dim": 16, "image_size": 64, "latent_size": 8,
+        "guidance_scale": 10.0, "plus_ratio": 0.1}))
+    params = g.init_params(jax_key)
+
+    from scaledreamer_tpu.models.prompt_processors.base import \
+        PromptProcessorOutput
+    rng = np.random.default_rng(0)
+    vd = jnp.asarray(rng.standard_normal((4, 7, 16)).astype(np.float32))
+    po = PromptProcessorOutput(
+        text_embeddings=vd[0], uncond_text_embeddings=vd[1],
+        text_embeddings_vd=vd, uncond_text_embeddings_vd=vd,
+        use_perp_neg=False, perp_neg_f_sb=(1, 0.5, -0.606),
+        perp_neg_f_fsb=(1, 0.5, 0.967), perp_neg_f_fs=(4, 0.5, -2.426),
+        perp_neg_f_sf=(4, 0.5, -2.426), prompt="p", prompts_vd=[])
+
+    B = 4
+    # non-constant image: an exactly-constant input zeroes every VAE
+    # activation and the chained GroupNorm backward gains overflow (same
+    # degenerate behavior as the torch VAE)
+    rgb = jax.random.uniform(jax.random.PRNGKey(7), (B, 16, 16, 3))
+    c2w = jnp.broadcast_to(jnp.eye(4), (B, 4, 4))
+    elevation = jnp.zeros(B)
+    azimuth = jnp.array([0.0, 90.0, 180.0, 270.0])
+
+    def loss_fn(x):
+        out = g(params, jax.random.PRNGKey(1), x, po, elevation, azimuth,
+                jnp.ones(B), jnp.float32(0.02), jnp.float32(0.98), c2w=c2w)
+        return out["loss_asd"]
+
+    loss, grad = jax.value_and_grad(loss_fn)(rgb)
+    assert np.isfinite(float(loss))
+    assert np.abs(np.asarray(grad)).max() > 0
