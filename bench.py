@@ -29,8 +29,16 @@ ESTIMATED_A100_ITERS_PER_SEC = 4.0  # unpublished; see BASELINE.md
 
 
 def main():
+    import contextlib
+
     import jax
     import numpy as np
+
+    cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/sdtpu_xla"))
+    with contextlib.suppress(Exception):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
     import scaledreamer_tpu as sd
     from scaledreamer_tpu.core.config import load_config, parse_structured
@@ -50,6 +58,15 @@ def main():
             "tag=bench",
             "exp_root_dir=outputs/_bench",
             "trainer.max_steps=1",
+            # 16 GB v5e: bound the live point-pipeline footprint; one chunk
+            # of 1024 rays x 193 samples is in flight at a time
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "1024"),
+            # TPU-first: exact analytic normals via jax.grad replace the
+            # reference's 4x finite-difference point evaluations
+            # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers
+            "system.geometry.normal_type="
+            + os.environ.get("BENCH_NORMALS", "analytic"),
         ],
         n_gpus=jax.device_count())
 

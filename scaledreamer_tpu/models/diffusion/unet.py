@@ -108,15 +108,12 @@ class Attention(nn.Module):
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         B, L, _ = q.shape
         S = k.shape[1]
-        q = q.reshape(B, L, self.heads, self.head_dim)
-        k = k.reshape(B, S, self.heads, self.head_dim)
-        v = v.reshape(B, S, self.heads, self.head_dim)
-        scale = 1.0 / math.sqrt(self.head_dim)
-        attn = jnp.einsum("blhd,bshd->bhls", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhls,bshd->blhd", attn, v)
-        out = out.reshape(B, L, inner)
+        q = q.reshape(B, L, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        from ...ops.attention import multi_head_attention
+        out = multi_head_attention(q, k, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, inner).astype(self.dtype)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out_0")(out)
 
 

@@ -188,16 +188,18 @@ class HyperINGP(nn.Module):
         if output_normal:
             nt = self.cfg.normal_type
             if nt == "finite_difference":
+                # one eval per axis: avoids a [B, N, 3, 3] tensor whose
+                # trailing dims pad catastrophically under TPU (8,128)
+                # tiling (1.1 GB for 790k points)
                 eps = float(self.cfg.finite_difference_normal_eps)
-                offs = jnp.asarray(
-                    [[eps, 0, 0], [0, eps, 0], [0, 0, eps]], jnp.float32)
-                p_off = jnp.clip(
-                    points_unscaled[:, :, None, :] + offs,
-                    -self.cfg.radius, self.cfg.radius)  # [B, N, 3, 3]
-                sdf_off = self.forward_sdf(
-                    p_off.reshape(B, N * 3, 3), space_cache
-                ).reshape(B, N, 3)
-                sdf_grad = (sdf_off - sdf) / eps
+                grads = []
+                for axis in range(3):
+                    offs = jnp.zeros((3,), jnp.float32).at[axis].set(eps)
+                    p_off = jnp.clip(points_unscaled + offs,
+                                     -self.cfg.radius, self.cfg.radius)
+                    s_off = self.forward_sdf(p_off, space_cache)
+                    grads.append((s_off - sdf) / eps)
+                sdf_grad = jnp.concatenate(grads, axis=-1)
             elif nt == "analytic":
                 sdf_grad = jax.grad(
                     lambda p: jnp.sum(self.forward_sdf(p, space_cache))

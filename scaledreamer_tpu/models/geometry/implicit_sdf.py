@@ -88,19 +88,20 @@ class ImplicitSDF(nn.Module):
             nt = self.cfg.normal_type
             if nt in ("finite_difference", "finite_difference_laplacian"):
                 eps = float(self.cfg.finite_difference_normal_eps)
+                comps = []
                 if nt == "finite_difference_laplacian":
-                    offs = jnp.asarray(
-                        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
-                         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], jnp.float32)
-                    s_off = self.forward_sdf(points_unscaled[..., None, :] + offs)
-                    normal = 0.5 * (s_off[..., 0::2, 0] - s_off[..., 1::2, 0]) / eps
+                    for axis in range(3):
+                        offs = jnp.zeros((3,), jnp.float32).at[axis].set(eps)
+                        s_pos = self.forward_sdf(points_unscaled + offs)
+                        s_neg = self.forward_sdf(points_unscaled - offs)
+                        comps.append(0.5 * (s_pos - s_neg) / eps)
                 else:
-                    offs = jnp.asarray(
-                        [[eps, 0, 0], [0, eps, 0], [0, 0, eps]], jnp.float32)
-                    s_off = self.forward_sdf(points_unscaled[..., None, :] + offs)
-                    normal = (s_off[..., :, 0] - sdf) / eps
-                sdf_grad = normal  # un-normalized gradient for eikonal loss
-                normal = safe_normalize(normal)
+                    for axis in range(3):
+                        offs = jnp.zeros((3,), jnp.float32).at[axis].set(eps)
+                        s_pos = self.forward_sdf(points_unscaled + offs)
+                        comps.append((s_pos - sdf) / eps)
+                sdf_grad = jnp.concatenate(comps, axis=-1)
+                normal = safe_normalize(sdf_grad)
             elif nt == "pred":
                 normal = safe_normalize(self.normal_network(enc).reshape(
                     *points.shape[:-1], 3))

@@ -94,23 +94,28 @@ class ImplicitVolume(nn.Module):
         if output_normal:
             nt = self.cfg.normal_type
             if nt in ("finite_difference", "finite_difference_laplacian"):
+                # per-axis evals avoid [..., n_offsets, 3] tensors that pad
+                # catastrophically under TPU (8,128) tiling
                 eps = float(self.cfg.finite_difference_normal_eps)
+                comps = []
                 if nt == "finite_difference_laplacian":
-                    offs = jnp.asarray(
-                        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
-                         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], jnp.float32)
-                    p_off = jnp.clip(points_unscaled[..., None, :] + offs,
-                                     -self.cfg.radius, self.cfg.radius)
-                    d_off = self.forward_density(p_off)
-                    normal = -0.5 * (d_off[..., 0::2, 0] - d_off[..., 1::2, 0]) / eps
+                    for axis in range(3):
+                        offs = jnp.zeros((3,), jnp.float32).at[axis].set(eps)
+                        d_pos = self.forward_density(jnp.clip(
+                            points_unscaled + offs, -self.cfg.radius,
+                            self.cfg.radius))
+                        d_neg = self.forward_density(jnp.clip(
+                            points_unscaled - offs, -self.cfg.radius,
+                            self.cfg.radius))
+                        comps.append(-0.5 * (d_pos - d_neg) / eps)
                 else:
-                    offs = jnp.asarray(
-                        [[eps, 0, 0], [0, eps, 0], [0, 0, eps]], jnp.float32)
-                    p_off = jnp.clip(points_unscaled[..., None, :] + offs,
-                                     -self.cfg.radius, self.cfg.radius)
-                    d_off = self.forward_density(p_off)
-                    normal = -(d_off[..., :, 0] - density) / eps
-                normal = safe_normalize(normal)
+                    for axis in range(3):
+                        offs = jnp.zeros((3,), jnp.float32).at[axis].set(eps)
+                        d_pos = self.forward_density(jnp.clip(
+                            points_unscaled + offs, -self.cfg.radius,
+                            self.cfg.radius))
+                        comps.append(-(d_pos - density) / eps)
+                normal = safe_normalize(jnp.concatenate(comps, axis=-1))
             elif nt == "pred":
                 normal = safe_normalize(self.normal_network(enc).reshape(
                     *points.shape[:-1], 3))

@@ -93,21 +93,25 @@ class MVDreamAsdGuidance(BaseObject):
         import logging
         import os
         logger = logging.getLogger(__name__)
+        from .sd_asd import _host_random_like
         k1, k2 = jax.random.split(rng)
-        latent = jnp.zeros((self.cfg.n_view, self.cfg.latent_size,
-                            self.cfg.latent_size, 4))
-        ctx = jnp.zeros((self.cfg.n_view, 77, self.cfg.cross_attention_dim))
-        cam = jnp.zeros((self.cfg.n_view, 16))
-        img = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, 3))
-        unet_params = self.unet.init(
-            k1, latent, jnp.zeros((self.cfg.n_view,), jnp.int32), ctx,
-            camera=cam)
-        vae_params = self.vae.init({"params": k2}, img, jax.random.PRNGKey(0))
-        cast = lambda p: jax.tree.map(
-            lambda x: x.astype(param_dtype) if x.dtype == jnp.float32 else x,
-            p)
-        self.params = {"unet": cast(unet_params["params"]),
-                       "vae": cast(vae_params["params"])}
+        latent = jax.ShapeDtypeStruct(
+            (self.cfg.n_view, self.cfg.latent_size, self.cfg.latent_size, 4),
+            jnp.float32)
+        t = jax.ShapeDtypeStruct((self.cfg.n_view,), jnp.int32)
+        ctx = jax.ShapeDtypeStruct(
+            (self.cfg.n_view, 77, self.cfg.cross_attention_dim), jnp.float32)
+        cam = jax.ShapeDtypeStruct((self.cfg.n_view, 16), jnp.float32)
+        img = jax.ShapeDtypeStruct(
+            (1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32)
+        unet_shapes = jax.eval_shape(
+            lambda *a: self.unet.init(*a[:-1], camera=a[-1]),
+            k1, latent, t, ctx, cam)
+        vae_shapes = jax.eval_shape(
+            self.vae.init, {"params": k2}, img, jax.random.PRNGKey(0))
+        self.params = {
+            "unet": _host_random_like(unet_shapes["params"], param_dtype),
+            "vae": _host_random_like(vae_shapes["params"], param_dtype)}
         ckpt = self.cfg.ckpt_path
         if ckpt and os.path.exists(str(ckpt)):
             import flax.serialization as ser

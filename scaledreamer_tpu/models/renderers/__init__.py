@@ -1,1 +1,2 @@
-from . import generative_space_volsdf, nerf_volume, neus_volume, occupancy  # noqa: F401
+from . import (generative_space_volsdf, nerf_volume, neus_volume,  # noqa: F401
+               occupancy, patch)

@@ -89,61 +89,117 @@ class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
         rays_o_flat = rays_o.reshape(B, n_rays_per, 3)
         rays_d_flat = rays_d.reshape(B, n_rays_per, 3)
         R = B * n_rays_per
-        rng = self.make_rng("sampling") if (train and cfg.randomized) else None
+        rng = self.make_rng("sampling") if (train and cfg.randomized) else \
+            jax.random.PRNGKey(0)
+        cos_anneal = kwargs.get("cos_anneal_ratio", 1.0)
+        stratified = train and cfg.randomized
 
-        near, far = rays_intersect_bbox(
-            rays_o_flat.reshape(R, 3), rays_d_flat.reshape(R, 3), cfg.radius)
-        near = jnp.maximum(near, cfg.near_plane)
-        far = jnp.minimum(far, cfg.far_plane)
+        def render_chunk(ro, rd, lp, chunk_rng):
+            """ro/rd [B, nc, 3] -> per-ray dict with leading dim B*nc."""
+            nc = ro.shape[1]
+            Rc = B * nc
+            near, far = rays_intersect_bbox(
+                ro.reshape(Rc, 3), rd.reshape(Rc, 3), cfg.radius)
+            near = jnp.maximum(near, cfg.near_plane)
+            far = jnp.minimum(far, cfg.far_plane)
 
-        def prop_sigma_fn(t0, t1):
-            # t0/t1 [R, P] -> densities [R, P]; geometry eval batched per
-            # space-cache sample
-            P = t0.shape[-1]
-            tm = ((t0 + t1) / 2.0).reshape(B, n_rays_per, P, 1)
-            pos = (rays_o_flat[:, :, None, :]
-                   + rays_d_flat[:, :, None, :] * tm)
-            sdf = self.geometry.forward_sdf(
-                pos.reshape(B, n_rays_per * P, 3), space_cache)
-            sigma = volsdf_density(sdf, inv_std)
-            return sigma.reshape(R, P)
+            def prop_sigma_fn(t0, t1):
+                P = t0.shape[-1]
+                tm = ((t0 + t1) / 2.0).reshape(B, nc, P, 1)
+                pos = ro[:, :, None, :] + rd[:, :, None, :] * tm
+                sdf = self.geometry.forward_sdf(
+                    pos.reshape(B, nc * P, 3), space_cache)
+                return volsdf_density(sdf, inv_std).reshape(Rc, P)
 
-        t_starts, t_ends = importance_sampling(
-            prop_sigma_fn, cfg.num_samples_per_ray_importance,
-            cfg.num_samples_per_ray, near, far, rng=rng,
-            stratified=train and cfg.randomized)
-        S = t_starts.shape[-1]
-        t_mid = ((t_starts + t_ends) / 2.0)[..., None]   # [R, S, 1]
-        t_intervals = (t_ends - t_starts)[..., None]
+            t_starts, t_ends = importance_sampling(
+                prop_sigma_fn, cfg.num_samples_per_ray_importance,
+                cfg.num_samples_per_ray, near, far,
+                rng=chunk_rng if stratified else None,
+                stratified=stratified)
+            S = t_starts.shape[-1]
+            t_mid = ((t_starts + t_ends) / 2.0)[..., None]
+            t_intervals = (t_ends - t_starts)[..., None]
+            positions = (ro.reshape(Rc, 1, 3)
+                         + rd.reshape(Rc, 1, 3) * t_mid)
+            t_dirs = jnp.broadcast_to(rd.reshape(Rc, 1, 3), positions.shape)
+            geo_out = self.geometry(
+                positions.reshape(B, nc * S, 3), space_cache,
+                output_normal=True)
+            sdf = geo_out["sdf"].reshape(Rc, S, 1)
+            normal = geo_out["normal"].reshape(Rc, S, 3)
+            if cfg.use_volsdf:
+                alpha = volsdf_alpha(sdf, t_intervals, inv_std)[..., 0]
+            else:
+                from ...ops.render import neus_alpha
+                alpha = neus_alpha(sdf, normal, t_dirs, t_intervals,
+                                   inv_std, cos_anneal)[..., 0]
+            features = geo_out["features"].reshape(Rc, S, -1)
+            if lp is not None:
+                t_light = jnp.broadcast_to(
+                    lp.reshape(B, 1, 1, 3), (B, nc, S, 3)).reshape(Rc, S, 3)
+            else:
+                t_light = jnp.zeros_like(positions)
+            rgb_fg = self.material(
+                features=features, viewdirs=t_dirs, positions=positions,
+                light_positions=t_light,
+                shading_normal=geo_out["shading_normal"].reshape(Rc, S, 3))
+            return {
+                "t_mid": t_mid, "t_intervals": t_intervals,
+                "t_dirs": t_dirs, "positions": positions, "sdf": sdf,
+                "sdf_grad": geo_out["sdf_grad"].reshape(Rc, S, 3),
+                "normal": normal, "features": features, "alpha": alpha,
+                "rgb_fg": rgb_fg,
+            }
 
-        positions = (rays_o_flat.reshape(R, 1, 3)
-                     + rays_d_flat.reshape(R, 1, 3) * t_mid)  # [R, S, 3]
-        t_dirs = jnp.broadcast_to(rays_d_flat.reshape(R, 1, 3),
-                                  positions.shape)
-        geo_out = self.geometry(
-            positions.reshape(B, n_rays_per * S, 3), space_cache,
-            output_normal=True)
-        sdf = geo_out["sdf"].reshape(R, S, 1)
-        normal = geo_out["normal"].reshape(R, S, 3)
+        chunk_size = cfg.train_chunk_size if train else cfg.eval_chunk_size
+        # params cannot be created inside lax.map; linen init runs the
+        # unchunked path (op-by-op, transients freed eagerly)
+        if (chunk_size and 0 < chunk_size < n_rays_per
+                and not self.is_initializing()):
+            # reference train_chunk_size semantics (chunk the RAY axis, keep
+            # the space-cache batch axis aligned — custom/.../renderers/
+            # utils.py:50-117) expressed as lax.map: one chunk's point
+            # pipeline is live at a time, bounding the tile-padded
+            # intermediates that otherwise exhaust HBM
+            nc = chunk_size
+            n_chunks = (n_rays_per + nc - 1) // nc
+            pad = n_chunks * nc - n_rays_per
+            ro = jnp.pad(rays_o_flat, ((0, 0), (0, pad), (0, 0)))
+            rd = jnp.pad(rays_d_flat, ((0, 0), (0, pad), (0, 0)),
+                         constant_values=1.0)
+            ro = ro.reshape(B, n_chunks, nc, 3).transpose(1, 0, 2, 3)
+            rd = rd.reshape(B, n_chunks, nc, 3).transpose(1, 0, 2, 3)
+            chunk_rngs = jax.random.split(rng, n_chunks)
 
-        if cfg.use_volsdf:
-            alpha = volsdf_alpha(sdf, t_intervals, inv_std)[..., 0]
+            def body(args):
+                ro_c, rd_c, k = args
+                return render_chunk(ro_c, rd_c, light_positions, k)
+
+            stacked = jax.lax.map(body, (ro, rd, chunk_rngs))
+            # [n_chunks, B*nc, ...] -> [B, n_rays, ...] (drop padding)
+            def unchunk(v):
+                S_tail = v.shape[2:]
+                v = v.reshape(n_chunks, B, nc, *S_tail)
+                v = v.transpose(1, 0, 2, *range(3, v.ndim))
+                v = v.reshape(B, n_chunks * nc, *S_tail)
+                return v[:, :n_rays_per].reshape(R, *S_tail)
+
+            chunk_out = jax.tree.map(unchunk, stacked)
         else:
-            from ...ops.render import neus_alpha
-            alpha = neus_alpha(sdf, normal, t_dirs, t_intervals, inv_std,
-                               kwargs.get("cos_anneal_ratio", 1.0))[..., 0]
+            chunk_out = render_chunk(rays_o_flat, rays_d_flat,
+                                     light_positions, rng)
 
-        features = geo_out["features"].reshape(R, S, -1)
-        if light_positions is not None:
-            t_light = jnp.broadcast_to(
-                light_positions.reshape(B, 1, 1, 3),
-                (B, n_rays_per, S, 3)).reshape(R, S, 3)
-        else:
-            t_light = jnp.zeros_like(positions)
-        rgb_fg = self.material(
-            features=features, viewdirs=t_dirs, positions=positions,
-            light_positions=t_light,
-            shading_normal=geo_out["shading_normal"].reshape(R, S, 3))
+        t_mid = chunk_out["t_mid"]
+        t_intervals = chunk_out["t_intervals"]
+        t_dirs = chunk_out["t_dirs"]
+        positions = chunk_out["positions"]
+        sdf = chunk_out["sdf"]
+        normal = chunk_out["normal"]
+        features = chunk_out["features"]
+        alpha = chunk_out["alpha"]
+        rgb_fg = chunk_out["rgb_fg"]
+        geo_out = {"sdf": sdf.reshape(-1, 1),
+                   "sdf_grad": chunk_out["sdf_grad"].reshape(-1, 3)}
 
         bg_kwargs = {}
         if getattr(self.background, "accepts_text_embed", False):
@@ -183,7 +239,7 @@ class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
                 "points": positions,
                 "sdf": geo_out["sdf"],
                 "sdf_grad": geo_out["sdf_grad"],
-                "normal": normal.reshape(R, S, 3),
+                "normal": normal,
                 "features": features,
             })
         comp_normal = safe_normalize(accumulate_along_rays(weights, normal))

@@ -62,6 +62,48 @@ def frequency_mask(n_frequencies: int, n_masking_step: int,
     return ((1.0 - np.cos(np.pi * np.clip(ptr, 0, 1))) / 2.0).astype(np.float32)
 
 
+class SphericalHarmonicsEncoding(nn.Module):
+    """Real SH basis up to `degree` (tcnn "SphericalHarmonics" parity).
+
+    tcnn convention: input in [0,1]^3 is mapped to [-1,1]^3 directions; the
+    basis follows the hard-coded tcnn/instant-ngp polynomial expansion.
+    """
+    degree: int = 3
+
+    @property
+    def n_output_dims(self):
+        return self.degree ** 2
+
+    @nn.compact
+    def __call__(self, dirs01, *args, **kwargs):
+        d = dirs01 * 2.0 - 1.0
+        x, y, z = d[..., 0], d[..., 1], d[..., 2]
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out = [jnp.full_like(x, 0.28209479177387814)]
+        if self.degree > 1:
+            out += [-0.48860251190291987 * y,
+                    0.48860251190291987 * z,
+                    -0.48860251190291987 * x]
+        if self.degree > 2:
+            out += [1.0925484305920792 * xy,
+                    -1.0925484305920792 * yz,
+                    0.94617469575755997 * zz - 0.31539156525251999,
+                    -1.0925484305920792 * xz,
+                    0.54627421529603959 * (xx - yy)]
+        if self.degree > 3:
+            out += [
+                0.59004358992664352 * y * (-3.0 * xx + yy),
+                2.8906114426405538 * xy * z,
+                0.45704579946446572 * y * (1.0 - 5.0 * zz),
+                0.3731763325901154 * z * (5.0 * zz - 3.0),
+                0.45704579946446572 * x * (1.0 - 5.0 * zz),
+                1.4453057213202769 * z * (xx - yy),
+                0.59004358992664352 * x * (-xx + 3.0 * yy),
+            ]
+        return jnp.stack(out, axis=-1)
+
+
 class HashGridEncoding(nn.Module):
     """Learned multires hash grid; table is a linen param (ops/hashgrid.py)."""
     grid: HashGridConfig
@@ -112,6 +154,8 @@ def get_encoding(n_input_dims: int, config: dict) -> CompositeEncoding:
         )
     elif otype in ("HashGrid", "ProgressiveBandHashGrid"):
         enc = HashGridEncoding(grid=hashgrid_config_from_tcnn(config, n_input_dims))
+    elif otype == "SphericalHarmonics":
+        enc = SphericalHarmonicsEncoding(degree=config.get("degree", 3))
     else:
         raise ValueError(f"Unknown encoding otype: {otype}")
     return CompositeEncoding(

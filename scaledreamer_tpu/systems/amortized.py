@@ -96,7 +96,12 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
         if self.cfg.weights is not None:
             params = self.load_weights(params, self.cfg.weights)
         from .optimizers import parse_optimizer
-        self.tx = parse_optimizer(self.cfg.optimizer, params)
+        tx = parse_optimizer(self.cfg.optimizer, params)
+        accum = int(getattr(self, "grad_accum", 1))
+        if accum > 1:
+            import optax as _optax
+            tx = _optax.MultiSteps(tx, every_k_schedule=accum)
+        self.tx = tx
         opt_state = self.tx.init(params)
         from .base import TrainState
         import logging

@@ -143,6 +143,12 @@ class BaseLift3DSystem(BaseObject):
         if self.cfg.weights is not None:
             params = self.load_weights(params, self.cfg.weights)
         tx = parse_optimizer(self.cfg.optimizer, params)
+        accum = int(getattr(self, "grad_accum", 1))
+        if accum > 1:
+            # trainer.accumulate_grad_batches parity (reference configs use
+            # 2/8 for the triplane runs) via optax MultiSteps
+            import optax as _optax
+            tx = _optax.MultiSteps(tx, every_k_schedule=accum)
         self.tx = tx
         opt_state = tx.init(params)
         occ = None
@@ -232,13 +238,16 @@ class BaseLift3DSystem(BaseObject):
         tx = self.tx
         guidance_call = guidance.__call__
 
+        import os
+        remat_renderer = os.environ.get("SDTPU_REMAT_RENDERER", "1") != "0"
+
         def train_step(state: TrainState, guidance_params, batch, scalars,
                        rng):
             k_render, k_aug, k_guidance, k_noise = jax.random.split(rng, 4)
             prompt_utils = self.build_prompt_utils(batch)
 
-            def loss_fn(params):
-                out = renderer.apply(
+            def render_fn(params):
+                return renderer.apply(
                     {"params": params},
                     batch["rays_o"], batch["rays_d"],
                     light_positions=batch["light_positions"],
@@ -247,6 +256,15 @@ class BaseLift3DSystem(BaseObject):
                     rngs={"sampling": k_render, "aug": k_aug,
                           "noise": k_noise},
                     **self.render_kwargs(batch))
+
+            if remat_renderer:
+                # recompute rendering in the backward pass instead of saving
+                # point-pipeline residuals (tile-padded [N, small] tensors
+                # dominate HBM otherwise; trades ~1 extra renderer fwd)
+                render_fn = jax.checkpoint(render_fn)
+
+            def loss_fn(params):
+                out = render_fn(params)
                 g_out = guidance_call(
                     guidance_params, k_guidance, out["comp_rgb"],
                     prompt_utils,
@@ -273,20 +291,10 @@ class BaseLift3DSystem(BaseObject):
                                    state.step + 1)
             return new_state, metrics
 
-        donate = (0,)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
-            data = NamedSharding(mesh, P("data"))
-            batch_sharding = {
-                "rays_o": data, "rays_d": data, "light_positions": data,
-                "elevation": data, "azimuth": data, "camera_distances": data,
-            }
-            return jax.jit(
-                train_step, donate_argnums=donate,
-                in_shardings=(None, None, batch_sharding, None, repl),
-                out_shardings=None)
-        return jax.jit(train_step, donate_argnums=donate)
+        # With a mesh, the computation's sharding follows the argument
+        # shardings (trainer device_puts the batch over the 'data' axis and
+        # params replicated); GSPMD inserts the gradient psum automatically.
+        return jax.jit(train_step, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def make_occgrid_update(self):

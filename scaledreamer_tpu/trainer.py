@@ -86,16 +86,39 @@ class Trainer:
         self.dm.setup("fit")
         self.system.on_fit_start(jax.random.fold_in(rng, 999))
 
+        self.system.grad_accum = self.cfg.accumulate_grad_batches
         dataset = self.dm.train_dataset
+
+        # multi-chip: 1-D data mesh over all local devices; config
+        # batch_size is PER-DEVICE (reference DDP semantics), so the host
+        # sampler produces n_devices x batch_size cameras per step
+        mesh = None
+        n_dev = jax.local_device_count()
+        if n_dev > 1:
+            from jax.sharding import Mesh
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            if hasattr(dataset, "batch_sizes"):
+                dataset.batch_sizes = [b * n_dev for b in dataset.batch_sizes]
+                dataset.batch_size = dataset.batch_sizes[0]
+            logger.info("Data-parallel over %d devices (global batch %s)",
+                        n_dev, getattr(dataset, "batch_size", "?"))
+
         update_if_possible(dataset, 0, self.global_step)
         batch = self.dm.train_batch()
         state = self.system.init_state(jax.random.fold_in(rng, 0), batch)
         if resume:
             state, self.global_step = self.load_checkpoint(resume, state)
 
-        train_step = self.system.make_train_step()
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            state = jax.device_put(state, repl)
+            guidance_params = jax.device_put(self.system.guidance_params,
+                                             repl)
+        else:
+            guidance_params = self.system.guidance_params
+        train_step = self.system.make_train_step(mesh=mesh)
         occ_update = self.system.make_occgrid_update()
-        guidance_params = self.system.guidance_params
 
         pending_metrics = None
         pending_step = -1
@@ -121,6 +144,16 @@ class Trainer:
 
             jb = {k: v for k, v in batch.items()
                   if isinstance(v, (np.ndarray, jax.Array))}
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                B = shape[0]
+                data_s = NamedSharding(mesh, P("data"))
+                repl_s = NamedSharding(mesh, P())
+                jb = {k: jax.device_put(
+                          np.asarray(v),
+                          data_s if np.asarray(v).shape[:1] == (B,)
+                          else repl_s)
+                      for k, v in jb.items()}
             state, metrics = train_step(state, guidance_params, jb, scalars,
                                         step_rng)
             self.global_step += 1

@@ -37,3 +37,5 @@ def rng():
 def jax_key():
     import jax
     return jax.random.PRNGKey(0)
+
+os.environ.setdefault("SDTPU_FLASH", "0")  # flash kernels are TPU-only
