@@ -73,7 +73,7 @@ def main(args, extras) -> None:
             f.write(" ".join(sys.argv))
 
     trainer = Trainer(system, dm, cfg.trainer, cfg.checkpoint, cfg.trial_dir,
-                      seed=seed)
+                      seed=seed, profile=getattr(args, "profile", False))
 
     resume = find_last_path(cfg.resume)
     if args.train:
@@ -148,6 +148,8 @@ if __name__ == "__main__":
     parser.add_argument("--gpu", default=None,
                         help="device indices to use (TPU chips)")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of steps 5-15")
     parser.add_argument("--typecheck", action="store_true",
                         help="accepted for reference-CLI parity")
     args, extras = parser.parse_known_args()

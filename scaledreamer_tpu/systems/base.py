@@ -142,6 +142,9 @@ class BaseLift3DSystem(BaseObject):
         params = variables["params"]
         if self.cfg.weights is not None:
             params = self.load_weights(params, self.cfg.weights)
+        if self.cfg.geometry_convert_from:
+            params = self.convert_geometry(params,
+                                           self.cfg.geometry_convert_from)
         tx = parse_optimizer(self.cfg.optimizer, params)
         accum = int(getattr(self, "grad_accum", 1))
         if accum > 1:
@@ -161,11 +164,44 @@ class BaseLift3DSystem(BaseObject):
         return TrainState(params, opt_state, occ, jnp.zeros([], jnp.int32))
 
     def load_weights(self, params, path: str):
-        """Weights-only init (reference systems/base.py:52-62)."""
+        """Weights-only init (reference systems/base.py:52-62), honoring
+        `weights_ignore_modules` (top-level subtrees kept at fresh init)."""
         import flax.serialization as ser
         with open(path, "rb") as f:
-            loaded = ser.from_bytes({"params": params}, f.read())
-        return loaded["params"]
+            loaded = ser.from_bytes({"params": params}, f.read())["params"]
+        ignore = set(self.cfg.weights_ignore_modules or [])
+        if ignore:
+            loaded = dict(loaded)
+            for name in ignore:
+                if name in params:
+                    loaded[name] = params[name]
+        return loaded
+
+    def convert_geometry(self, params, ckpt_path: str):
+        """Cross-stage geometry conversion (`geometry_convert_from`,
+        reference systems/base.py:250-292 + geometry `create_from`):
+        copy structurally-matching geometry subtrees (encoding +
+        density/sdf/feature networks) from a previous-stage checkpoint."""
+        import flax.serialization as ser
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        with open(ckpt_path, "rb") as f:
+            raw = f.read()
+        # deserialize with a permissive template: read the geometry subtree
+        loaded = ser.msgpack_restore(raw)
+        prev_geo = loaded.get("params", {}).get("geometry", {})
+        new_geo = flatten_dict(params["geometry"])
+        prev_flat = flatten_dict(prev_geo)
+        copied = 0
+        for k, v in prev_flat.items():
+            v = jnp.asarray(v)
+            if k in new_geo and new_geo[k].shape == v.shape:
+                new_geo[k] = v.astype(new_geo[k].dtype)
+                copied += 1
+        logger.info("geometry_convert_from %s: copied %d/%d matching params",
+                    ckpt_path, copied, len(new_geo))
+        params = dict(params)
+        params["geometry"] = unflatten_dict(new_geo)
+        return params
 
     # ------------------------------------------------------------------
     def schedule_scalars(self, epoch: int, global_step: int) -> Dict[str, np.ndarray]:

@@ -65,7 +65,8 @@ class CheckpointConfig:
 
 class Trainer:
     def __init__(self, system, datamodule, trainer_cfg: dict,
-                 checkpoint_cfg: dict, trial_dir: str, seed: int = 0):
+                 checkpoint_cfg: dict, trial_dir: str, seed: int = 0,
+                 profile: bool = False):
         self.system = system
         self.dm = datamodule
         self.cfg = parse_structured(TrainerConfig, trainer_cfg)
@@ -79,6 +80,16 @@ class Trainer:
         self.global_step = 0
         self._csv_path = os.path.join(trial_dir, "metrics.csv")
         self._csv_keys = None
+        self.profile = profile
+        # TensorBoard event files alongside CSV (reference launch.py:216-231
+        # TensorBoardLogger + CSVLogger); rank 0 only
+        self._tb = None
+        if jax.process_index() == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(trial_dir, "tb"))
+            except Exception:
+                self._tb = None
 
     # ------------------------------------------------------------------
     def fit(self, resume: Optional[str] = None):
@@ -126,6 +137,11 @@ class Trainer:
         steps_done = 0
         cur_shape = None
 
+        if self.profile:
+            # first-class tracing (SURVEY.md §5): profile steps 5-15 into
+            # trial_dir/profile, viewable with tensorboard-plugin-profile
+            profile_dir = os.path.join(self.trial_dir, "profile")
+
         while self.global_step < self.cfg.max_steps:
             step = self.global_step
             update_if_possible(dataset, 0, step)
@@ -154,8 +170,14 @@ class Trainer:
                           data_s if np.asarray(v).shape[:1] == (B,)
                           else repl_s)
                       for k, v in jb.items()}
+            if self.profile and step == 5:
+                jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, guidance_params, jb, scalars,
                                         step_rng)
+            if self.profile and step == 15:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                logger.info("Saved profiler trace to %s", profile_dir)
             self.global_step += 1
             steps_done += 1
 
@@ -197,6 +219,10 @@ class Trainer:
                 csv.writer(f).writerow(self._csv_keys)
         with open(self._csv_path, "a", newline="") as f:
             csv.writer(f).writerow([vals.get(k, "") for k in self._csv_keys])
+        if self._tb is not None:
+            for k, v in vals.items():
+                if k != "step":
+                    self._tb.add_scalar(f"train/{k}", v, step)
         if self.cfg.enable_progress_bar:
             msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items()
                            if k in ("loss", "loss_asd", "iters_per_sec"))
