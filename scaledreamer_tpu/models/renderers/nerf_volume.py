@@ -45,6 +45,7 @@ class NeRFVolumeRenderer(nn.Module):
     @dataclass
     class Config(VolumeRendererBaseConfig):
         estimator: str = "occgrid"  # ["occgrid", "importance"]
+        train_chunk_size: int = 0   # rays per lax.map chunk (0 = no chunking)
         # occgrid
         grid_prune: bool = True
         prune_alpha_threshold: bool = True
@@ -114,37 +115,83 @@ class NeRFVolumeRenderer(nn.Module):
         rays_o_flat = rays_o.reshape(-1, 3)
         rays_d_flat = rays_d.reshape(-1, 3)
         R = rays_o_flat.shape[0]
-        rng = self.make_rng("sampling") if (train and cfg.randomized) else None
-
-        t_starts, t_ends = self._sample_along_rays(
-            rays_o_flat, rays_d_flat, occ_grid, rng, train)
-        S = t_starts.shape[-1]
-        t_mid = ((t_starts + t_ends) / 2.0)[..., None]  # [R, S, 1]
-        t_intervals = (t_ends - t_starts)[..., None]
-        positions = rays_o_flat[:, None, :] + rays_d_flat[:, None, :] * t_mid
-        t_dirs = jnp.broadcast_to(rays_d_flat[:, None, :], positions.shape)
-        if light_positions is not None:
-            t_light = jnp.broadcast_to(
-                light_positions.reshape(B, 1, 1, 3), (B, H * W, S, 3)
-            ).reshape(R, S, 3)
-        else:
-            t_light = jnp.zeros_like(positions)
-
+        rng = self.make_rng("sampling") if (train and cfg.randomized) else \
+            jax.random.PRNGKey(0)
         requires_normal = getattr(self.material, "requires_normal", False) or \
             cfg.return_comp_normal
-        geo_out = self.geometry(positions, output_normal=requires_normal)
-        density = geo_out["density"][..., 0]  # [R, S]
+        if light_positions is not None:
+            light_flat = jnp.broadcast_to(
+                light_positions.reshape(B, 1, 3), (B, H * W, 3)
+            ).reshape(R, 3)
+        else:
+            light_flat = jnp.zeros((R, 3), jnp.float32)
 
-        if cfg.estimator == "occgrid" and occ_grid is not None and \
-                cfg.grid_prune and cfg.prune_alpha_threshold:
-            occ = query_occupancy(occ_grid, positions, cfg.grid_resolution,
-                                  cfg.radius, cfg.occ_threshold)
-            density = density * occ
+        def render_chunk(ro, rd, lf, chunk_rng):
+            """ro/rd/lf [Rc, 3] -> per-ray dict (leading dim Rc)."""
+            t_starts, t_ends = self._sample_along_rays(
+                ro, rd, occ_grid, chunk_rng, train)
+            S = t_starts.shape[-1]
+            t_mid = ((t_starts + t_ends) / 2.0)[..., None]
+            t_intervals = (t_ends - t_starts)[..., None]
+            positions = ro[:, None, :] + rd[:, None, :] * t_mid
+            t_dirs = jnp.broadcast_to(rd[:, None, :], positions.shape)
+            t_light = jnp.broadcast_to(lf[:, None, :], positions.shape)
+            geo_out = self.geometry(positions, output_normal=requires_normal)
+            density = geo_out["density"][..., 0]
+            if cfg.estimator == "occgrid" and occ_grid is not None and \
+                    cfg.grid_prune and cfg.prune_alpha_threshold:
+                occ = query_occupancy(occ_grid, positions,
+                                      cfg.grid_resolution, cfg.radius,
+                                      cfg.occ_threshold)
+                density = density * occ
+            rgb_fg = self.material(
+                features=geo_out.get("features"), viewdirs=t_dirs,
+                positions=positions, light_positions=t_light,
+                shading_normal=geo_out.get("shading_normal"))
+            out = {"t_mid": t_mid, "t_intervals": t_intervals,
+                   "t_dirs": t_dirs, "positions": positions,
+                   "density": density, "rgb_fg": rgb_fg,
+                   "t_starts": t_starts, "t_ends": t_ends}
+            for k in ("features", "normal", "shading_normal", "sdf_grad"):
+                if k in geo_out:
+                    out[k] = geo_out[k]
+            return out
 
-        rgb_fg = self.material(
-            features=geo_out.get("features"), viewdirs=t_dirs,
-            positions=positions, light_positions=t_light,
-            shading_normal=geo_out.get("shading_normal"))
+        chunk = cfg.train_chunk_size if train else 0
+        if chunk and 0 < chunk < R and not self.is_initializing():
+            n_chunks = (R + chunk - 1) // chunk
+            pad = n_chunks * chunk - R
+            ro = jnp.pad(rays_o_flat, ((0, pad), (0, 0)))
+            rd = jnp.pad(rays_d_flat, ((0, pad), (0, 0)),
+                         constant_values=1.0)
+            lf = jnp.pad(light_flat, ((0, pad), (0, 0)))
+            ro = ro.reshape(n_chunks, chunk, 3)
+            rd = rd.reshape(n_chunks, chunk, 3)
+            lf = lf.reshape(n_chunks, chunk, 3)
+            rngs = (jax.random.split(rng, n_chunks) if rng is not None
+                    else jnp.zeros((n_chunks, 2), jnp.uint32))
+            stacked = jax.lax.map(
+                lambda a: render_chunk(a[0], a[1], a[2], a[3]),
+                (ro, rd, lf, rngs))
+            chunk_out = jax.tree.map(
+                lambda v: v.reshape(n_chunks * chunk, *v.shape[2:])[:R],
+                stacked)
+        else:
+            chunk_out = render_chunk(rays_o_flat, rays_d_flat, light_flat,
+                                     rng)
+
+        t_mid = chunk_out["t_mid"]
+        t_intervals = chunk_out["t_intervals"]
+        t_dirs = chunk_out["t_dirs"]
+        positions = chunk_out["positions"]
+        density = chunk_out["density"]
+        rgb_fg = chunk_out["rgb_fg"]
+        t_starts = chunk_out["t_starts"]
+        t_ends = chunk_out["t_ends"]
+        geo_out = {k: chunk_out[k]
+                   for k in ("features", "normal", "shading_normal",
+                             "sdf_grad") if k in chunk_out}
+        geo_out["density"] = density[..., None]
         comp_rgb_bg = self.background(rays_d, train=train).reshape(R, -1)
 
         weights, trans = render_weights_from_density(t_starts, t_ends, density)

@@ -186,3 +186,32 @@ def test_generative_renderer_end_to_end(prompt_library, jax_key):
     out2 = renderer.apply(params, rays_o, rays_d, light_positions=light,
                           text_embed=text[:1], train=False)
     assert out2["comp_rgb"].shape == (B, H, W, 3)
+
+
+def test_generative_renderer_chunked_matches_unchunked(jax_key):
+    NoMaterial = sd.find("no-material")
+    Solid = sd.find("solid-color-background")
+    material = NoMaterial(cfg=parse_structured(NoMaterial.Config, {}))
+    bg = Solid(cfg=parse_structured(Solid.Config, {}))
+    Renderer = sd.find("generative-space-volsdf-volume-renderer")
+    geo = _mk_hyper_ingp()
+    outs = {}
+    for chunk in (0, 16):
+        cfg = parse_structured(Renderer.Config, {
+            "radius": 1.0, "num_samples_per_ray": 8,
+            "num_samples_per_ray_importance": 8, "use_volsdf": True,
+            "trainable_variance": False, "randomized": False,
+            "train_chunk_size": chunk})
+        r = Renderer(cfg=cfg, geometry=geo, material=material, background=bg)
+        B, H, W = 2, 8, 8
+        rays_o = jnp.broadcast_to(jnp.asarray([0., 0., 2.]), (B, H, W, 3))
+        rays_d = jnp.broadcast_to(jnp.asarray([0., 0., -1.]), (B, H, W, 3))
+        text = jax.random.normal(jax.random.PRNGKey(0), (B, 12))
+        light = jnp.ones((B, 3))
+        params = r.init({"params": jax.random.PRNGKey(1)}, rays_o, rays_d,
+                        light_positions=light, text_embed=text, train=True)
+        outs[chunk] = r.apply(
+            params, rays_o, rays_d, light_positions=light, text_embed=text,
+            train=True, rngs={"aug": jax.random.PRNGKey(3)})
+    d = float(jnp.abs(outs[0]["comp_rgb"] - outs[16]["comp_rgb"]).max())
+    assert d < 1e-4

@@ -195,3 +195,27 @@ def test_registered_names_present():
                  "nerf-volume-renderer", "neus-volume-renderer",
                  "random-camera-datamodule"]:
         assert sd.find(name) is not None
+
+
+def test_nerf_renderer_chunked_matches_unchunked():
+    """train_chunk_size (lax.map over ray chunks) is numerically identical."""
+    import jax
+    Renderer = sd.find("nerf-volume-renderer")
+    material, background = _build_material_background()
+    outs = {}
+    for chunk in (0, 64):
+        cfg = parse_structured(Renderer.Config, {
+            "radius": 1.0, "num_samples_per_ray": 32,
+            "estimator": "importance",
+            "num_samples_per_ray_importance": 16, "randomized": False,
+            "train_chunk_size": chunk})
+        renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                            material=material, background=background)
+        rays_o, rays_d = _camera_batch()
+        params = renderer.init({"params": jax.random.PRNGKey(0)},
+                               rays_o, rays_d, train=True)
+        outs[chunk] = renderer.apply(
+            params, rays_o, rays_d, train=True,
+            rngs={"aug": jax.random.PRNGKey(2)})
+    d = float(jnp.abs(outs[0]["comp_rgb"] - outs[64]["comp_rgb"]).max())
+    assert d < 1e-5
