@@ -1,0 +1,120 @@
+"""Architectural parity checks against the reference's pretrained models.
+
+Without network egress we cannot golden-test activations, but parameter
+COUNTS pin the architecture: SD2.1-base UNet is 865.91M params, its VAE
+83.65M (diffusers model cards); MVDream sd-v2.1-base-4view = SD2.1 UNet +
+camera-embedding MLP. Mismatched counts would make checkpoint conversion
+impossible, so these tests guard the layer inventory.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scaledreamer_tpu.models.diffusion.unet import (UNet2DConditionModel,
+                                                    UNetConfig)
+from scaledreamer_tpu.models.diffusion.vae import AutoencoderKL, VAEConfig
+
+
+def _count(shapes) -> int:
+    return sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
+
+
+def test_sd21_unet_param_count():
+    unet = UNet2DConditionModel(UNetConfig())
+    shapes = jax.eval_shape(
+        unet.init, jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((1, 64, 64, 4), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        jax.ShapeDtypeStruct((1, 77, 1024), jnp.float32))
+    n = _count(shapes["params"])
+    # diffusers stabilityai/stable-diffusion-2-1-base unet: 865,910,724
+    assert n == 865_910_724, f"UNet params {n:,} != 865,910,724"
+
+
+def test_sd_vae_param_count():
+    vae = AutoencoderKL(VAEConfig())
+    shapes = jax.eval_shape(
+        vae.init, {"params": jax.random.PRNGKey(0)},
+        jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32),
+        jax.random.PRNGKey(1))
+    n = _count(shapes["params"])
+    # diffusers SD VAE (kl-f8): 83,653,863
+    assert n == 83_653_863, f"VAE params {n:,} != 83,653,863"
+
+
+def test_mvdream_unet_param_count():
+    """MVDream 4-view UNet = SD2.1 UNet + camera MLP (16->1280->1280)."""
+    unet = UNet2DConditionModel(UNetConfig(num_frames=4, camera_dim=16))
+    shapes = jax.eval_shape(
+        lambda k, a, b, c, d: unet.init(k, a, b, c, camera=d),
+        jax.random.PRNGKey(0),
+        jax.ShapeDtypeStruct((4, 32, 32, 4), jnp.float32),
+        jax.ShapeDtypeStruct((4,), jnp.int32),
+        jax.ShapeDtypeStruct((4, 77, 1024), jnp.float32),
+        jax.ShapeDtypeStruct((4, 16), jnp.float32))
+    n = _count(shapes["params"])
+    camera_mlp = 16 * 1280 + 1280 + 1280 * 1280 + 1280
+    assert n == 865_910_724 + camera_mlp, \
+        f"MVDream UNet params {n:,} != SD2.1 + camera MLP"
+
+
+def test_adan_matches_reference_math():
+    """Adan step vs a NumPy transcription of the reference update
+    (threestudio/systems/optimizers.py:152-254, no_prox=False)."""
+    import optax
+    from scaledreamer_tpu.systems.optimizers import adan
+
+    lr, b1, b2, b3, eps, wd = 0.01, 0.9, 0.8, 0.95, 1e-8, 0.02
+    tx = adan(lr, b1=b1, b2=b2, b3=b3, eps=eps, weight_decay=wd)
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.standard_normal((5,)).astype(np.float32))
+    state = tx.init(p)
+
+    # reference state
+    m = np.zeros(5); v = np.zeros(5); n_ = np.zeros(5)
+    prev_g = None
+    p_ref = np.asarray(p, np.float64)
+
+    for step in range(1, 4):
+        g_np = rng.standard_normal(5).astype(np.float32)
+        g = jnp.asarray(g_np)
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+
+        gd = g_np.astype(np.float64)
+        diff = np.zeros(5) if prev_g is None else gd - prev_g
+        prev_g = gd
+        bc1 = 1 - b1 ** step
+        bc2 = 1 - b2 ** step
+        bc3 = 1 - b3 ** step
+        m = b1 * m + (1 - b1) * gd
+        v = b2 * v + (1 - b2) * diff
+        upd = gd + (1 - b2) * diff
+        n_ = b3 * n_ + (1 - b3) * upd * upd
+        denom = np.sqrt(n_ / bc3) + eps
+        update = (m / bc1 + (1 - b2) * v / bc2) / denom
+        p_ref = (p_ref - lr * update) / (1 + lr * wd)
+
+    assert np.allclose(np.asarray(p), p_ref, atol=1e-5), \
+        f"{np.asarray(p)} vs {p_ref}"
+
+
+def test_per_module_param_groups_freeze_unlisted():
+    import optax
+    from scaledreamer_tpu.systems.optimizers import parse_optimizer
+
+    params = {"geometry": {"encoding": {"w": jnp.ones(3)},
+                           "net": {"w": jnp.ones(3)}},
+              "background": {"w": jnp.ones(3)}}
+    tx = parse_optimizer({
+        "name": "Adam", "args": {"lr": 0.1},
+        "params": {"geometry.encoding": {"lr": 1.0}}}, params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # listed subtree moves, unlisted are frozen (reference utils.py:34-53)
+    assert float(jnp.abs(updates["geometry"]["encoding"]["w"]).sum()) > 0
+    assert float(jnp.abs(updates["geometry"]["net"]["w"]).sum()) == 0
+    assert float(jnp.abs(updates["background"]["w"]).sum()) == 0
