@@ -48,7 +48,7 @@ def main():
 
     sd.ensure_builtins()
 
-    n_steps = int(os.environ.get("BENCH_STEPS", 30))
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
     n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
 
     cfg = load_config(
@@ -61,10 +61,11 @@ def main():
             "tag=bench",
             "exp_root_dir=outputs/_bench",
             "trainer.max_steps=1",
-            # 16 GB v5e: bound the live point-pipeline footprint; one chunk
-            # of 1024 rays x 193 samples is in flight at a time
+            # with the custom-VJP hashgrid + analytic normals the full
+            # 4096-ray step fits 16 GB unchunked (fastest measured); set
+            # BENCH_CHUNK>0 to bound memory on smaller parts
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "1024"),
+            + os.environ.get("BENCH_CHUNK", "0"),
             # TPU-first: exact analytic normals via jax.grad replace the
             # reference's 4x finite-difference point evaluations
             # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers

@@ -84,6 +84,12 @@ def _div(a, b):
     return _num(a) / _num(b)
 
 
+@register_resolver("C_max")
+def _c_max(spec):
+    from .schedule import C_max as _cm
+    return _cm(spec)
+
+
 def _num(x):
     if isinstance(x, (int, float)):
         return x

@@ -234,11 +234,22 @@ class PromptProcessor(BaseObject):
         self.templates = direction_templates(self.cfg.view_dependent_prompt_front)
         self.prompt = self.preprocess_prompt(self.cfg.prompt)
         self.negative_prompt = self.cfg.negative_prompt
-        self.prompts_vd = [
-            getattr(self.cfg, f"prompt_{name}", None) or
-            self.templates[name](self.prompt)
-            for name in DIRECTION_NAMES
-        ]
+        if self.cfg.use_prompt_debiasing:
+            assert all(
+                getattr(self.cfg, f"prompt_{n}", None) is None
+                for n in DIRECTION_NAMES), \
+                "Do not assign view prompts manually with prompt debiasing"
+            debiased = self.get_debiased_prompt(self.prompt)
+            self.prompts_vd = [
+                self.templates[name](p)
+                for name, p in zip(DIRECTION_NAMES, debiased)
+            ]
+        else:
+            self.prompts_vd = [
+                getattr(self.cfg, f"prompt_{name}", None) or
+                self.templates[name](self.prompt)
+                for name in DIRECTION_NAMES
+            ]
         self.negative_prompts_vd = [
             self.negative_prompt for _ in DIRECTION_NAMES]
         self.prepare_text_embeddings()
@@ -248,6 +259,62 @@ class PromptProcessor(BaseObject):
     def encode_prompts(self, prompts: List[str]) -> np.ndarray:
         """-> [N, 77, C] local token embeddings."""
         raise NotImplementedError
+
+    def get_debiased_prompt(self, prompt: str) -> List[str]:
+        """Prompt debiasing via BERT MLM pointwise mutual information
+        (reference base.py:448-506, 'Debiasing Scores and Prompts...',
+        arXiv:2303.15413): drop words whose removal barely changes the
+        predicted view-word distribution. Falls back to the undebiased
+        prompt when no BERT checkpoint is available (offline mode)."""
+        import logging
+        logger = logging.getLogger(__name__)
+        os.environ["TOKENIZERS_PARALLELISM"] = "false"
+        model_path = self.cfg.pretrained_model_name_or_path_prompt_debiasing
+        try:
+            import torch
+            import torch.nn.functional as TF
+            from transformers import AutoTokenizer, BertForMaskedLM
+            tokenizer = AutoTokenizer.from_pretrained(model_path)
+            model = BertForMaskedLM.from_pretrained(model_path)
+        except Exception as e:
+            logger.warning(
+                "Prompt debiasing unavailable (%s); using the raw prompt "
+                "for all views.", e)
+            return [prompt] * len(DIRECTION_NAMES)
+
+        views = list(DIRECTION_NAMES)
+        view_ids = tokenizer(" ".join(views),
+                             return_tensors="pt").input_ids[0][1:5]
+
+        def modulate(p):
+            prompt_vd = f"This image is depicting a [MASK] view of {p}"
+            tokens = tokenizer(prompt_vd, padding="max_length",
+                               truncation=True, add_special_tokens=True,
+                               return_tensors="pt")
+            mask_idx = torch.where(
+                tokens.input_ids == tokenizer.mask_token_id)[1]
+            with torch.no_grad():
+                logits = model(**tokens).logits
+            probs = TF.softmax(logits[0, mask_idx], dim=-1)[0, view_ids]
+            return probs / probs.sum()
+
+        words = prompt.split(" ")
+        prompts = [list(words) for _ in range(4)]
+        full_probe = modulate(prompt)
+        mask_ids = (self.cfg.prompt_debiasing_mask_ids
+                    if self.cfg.prompt_debiasing_mask_ids is not None
+                    else list(range(len(words))))
+        for idx in mask_ids:
+            part = " ".join(words[:idx] + words[idx + 1:])
+            part_probe = modulate(part)
+            pmi = full_probe / torch.lerp(part_probe, full_probe, 0.5)
+            for i in range(pmi.shape[0]):
+                if pmi[i].item() < 0.95:
+                    prompts[i][idx] = ""
+        debiased = [" ".join(w for w in p if w) for p in prompts]
+        for d, p in zip(views, debiased):
+            logger.info("Debiased prompt of the %s view: [%s]", d, p)
+        return debiased
 
     def preprocess_prompt(self, prompt: str) -> str:
         if prompt.startswith("lib:"):
