@@ -61,11 +61,10 @@ def main():
             "tag=bench",
             "exp_root_dir=outputs/_bench",
             "trainer.max_steps=1",
-            # with the custom-VJP hashgrid + analytic normals the full
-            # 4096-ray step fits 16 GB unchunked (fastest measured); set
-            # BENCH_CHUNK>0 to bound memory on smaller parts
+            # 2 ray-chunks bound the fused encode+grad transients on the
+            # 16 GB v5e (unchunked OOMs by ~1 GB; more chunks = slower)
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "0"),
+            + os.environ.get("BENCH_CHUNK", "2048"),
             # TPU-first: exact analytic normals via jax.grad replace the
             # reference's 4x finite-difference point evaluations
             # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers

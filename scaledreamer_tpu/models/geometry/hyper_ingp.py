@@ -201,9 +201,40 @@ class HyperINGP(nn.Module):
                     grads.append((s_off - sdf) / eps)
                 sdf_grad = jnp.concatenate(grads, axis=-1)
             elif nt == "analytic":
-                sdf_grad = jax.grad(
-                    lambda p: jnp.sum(self.forward_sdf(p, space_cache))
-                )(points_unscaled)
+                # fused path: ONE gather yields enc AND d(enc)/dx
+                # (ops/hashgrid.hashgrid_encode_with_grad); chain through the
+                # tiny bmm head via jvp — normals add no extra table gathers
+                pts_unit = contract_to_unisphere(
+                    points_unscaled, self.bbox, self.cfg.unbounded)
+                enc_flat, denc = self.encoding(
+                    pts_unit.reshape(-1, 3), with_grad=True)
+                enc_b = enc_flat.reshape(B, N, -1)
+                w_list = space_cache["sdf_weights"]
+
+                def head(e):
+                    return hypernet_forward(e, w_list)
+
+                grads = []
+                # d pts_unit / d points = 1 / (2 * radius) (uniform bbox)
+                scale = 1.0 / (2.0 * self.cfg.radius)
+                for axis in range(3):
+                    tangent = denc[axis].reshape(B, N, -1)
+                    _, dsdf = jax.jvp(head, (enc_b,), (tangent,))
+                    grads.append(dsdf * scale)
+                sdf_net_grad = jnp.concatenate(grads, axis=-1)  # [B, N, 3]
+                # + gradient of the closed-form sdf bias
+                if self.cfg.sdf_bias == "sphere":
+                    r = jnp.linalg.norm(points_unscaled, axis=-1,
+                                        keepdims=True)
+                    bias_grad = points_unscaled / jnp.maximum(r, 1e-8)
+                elif self.cfg.sdf_bias == "ellipsoid":
+                    size = jnp.asarray(self.cfg.sdf_bias_params, jnp.float32)
+                    q = points_unscaled / size
+                    rq = jnp.linalg.norm(q, axis=-1, keepdims=True)
+                    bias_grad = q / (jnp.maximum(rq, 1e-8) * size)
+                else:
+                    bias_grad = jnp.zeros_like(points_unscaled)
+                sdf_grad = sdf_net_grad + bias_grad
             else:
                 raise NotImplementedError(f"normal_type {nt}")
             normal = safe_normalize(sdf_grad)

@@ -285,6 +285,172 @@ def hashgrid_encode(table: jnp.ndarray, x: jnp.ndarray, cfg: HashGridConfig,
     return y.reshape(*orig_shape, cfg.n_output_dims)
 
 
+# ---------------------------------------------------------------------------
+# Fused encode + spatial gradient: ONE gather serves both the features and
+# d(features)/d(x). Used by the `analytic` normal paths so normals add no
+# extra table gathers (gathers are the TPU bottleneck at ~23 ns/row).
+# ---------------------------------------------------------------------------
+
+
+def _axis_weight_parts(w, corner):
+    """Per-axis (value, sign) pairs for one corner's trilinear weight."""
+    dx, dy, dz = corner
+    ax = w[:, 0] if dx else 1.0 - w[:, 0]
+    ay = w[:, 1] if dy else 1.0 - w[:, 1]
+    az = w[:, 2] if dz else 1.0 - w[:, 2]
+    sx = 1.0 if dx else -1.0
+    sy = 1.0 if dy else -1.0
+    sz = 1.0 if dz else -1.0
+    return (ax, ay, az), (sx, sy, sz)
+
+
+def _encode_with_grad_impl(table, x, cfg: HashGridConfig, level_mask):
+    """-> (enc [N, L*F], denc ([N, L*F],)*3 — d enc / d x per axis)."""
+    T = cfg.table_size
+    res_np, dense_np = _level_constants(cfg)
+    outs, gx_outs, gy_outs, gz_outs = [], [], [], []
+    for level in range(cfg.n_levels):
+        res_l = int(res_np[level])
+        dense = bool(dense_np[level])
+        pos = x * res_l
+        grid_f = jnp.floor(pos)
+        w = pos - grid_f
+        grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res_l)
+        idx = jnp.stack([
+            _corner_index_1d(grid_i, c, res_l, dense, T)
+            for c in _CORNER_OFFSETS], axis=-1)          # [N, 8]
+        feats = jnp.take(table[level], idx, axis=0)       # [N, 8, F]
+        cws, dxs, dys, dzs = [], [], [], []
+        for c in _CORNER_OFFSETS:
+            (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, c)
+            cws.append(ax * ay * az)
+            dxs.append(sx * ay * az)
+            dys.append(sy * ax * az)
+            dzs.append(sz * ax * ay)
+        cw = jnp.stack(cws, axis=-1)   # [N, 8]
+        out = jnp.einsum("ncf,nc->nf", feats, cw)
+        gx = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dxs, -1)) * res_l
+        gy = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dys, -1)) * res_l
+        gz = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dzs, -1)) * res_l
+        if level_mask is not None:
+            m = level_mask[level]
+            out, gx, gy, gz = out * m, gx * m, gy * m, gz * m
+        outs.append(out)
+        gx_outs.append(gx)
+        gy_outs.append(gy)
+        gz_outs.append(gz)
+    return (jnp.concatenate(outs, -1), jnp.concatenate(gx_outs, -1),
+            jnp.concatenate(gy_outs, -1), jnp.concatenate(gz_outs, -1))
+
+
+def _ewg_fwd(table, x, cfg, level_mask):
+    return _encode_with_grad_impl(table, x, cfg, level_mask), \
+        (table, x, level_mask)
+
+
+def _ewg_bwd(cfg, res_saved, gs):
+    """Backward of (enc, denc_x, denc_y, denc_z).
+
+    Trilinear is multilinear: d²w/dx_i² = 0; the cross second derivatives
+    d²w/(dx_i dx_j) = s_i s_j a_k (k the remaining axis). All-1-D,
+    level-scanned, segment-sum table grads (same design notes as
+    _encode_bwd)."""
+    table, x, level_mask = res_saved
+    g_enc, g_gx, g_gy, g_gz = gs
+    N = x.shape[0]
+    F = cfg.n_features_per_level
+    T = cfg.table_size
+    res_np, dense_np = _level_constants(cfg)
+    mask_arr = (jnp.asarray(level_mask, jnp.float32) if level_mask is not None
+                else jnp.ones((cfg.n_levels,), jnp.float32))
+    tab_flat = table.reshape(cfg.n_levels, T * F)
+
+    def per_level(g):
+        return g.T.reshape(cfg.n_levels, F, N)
+
+    gl_enc = per_level(g_enc)
+    gl_x = per_level(g_gx)
+    gl_y = per_level(g_gy)
+    gl_z = per_level(g_gz)
+
+    def level_body(_, xs):
+        tab_l, ge, ggx, ggy, ggz, res, dense_flag, m = xs
+        resf = res.astype(jnp.float32)
+        pos = x * resf
+        grid_f = jnp.floor(pos)
+        w = pos - grid_f
+        grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res)
+        tg = jnp.zeros((T * F,), jnp.float32)
+        xg0 = jnp.zeros((N,), jnp.float32)
+        xg1 = jnp.zeros((N,), jnp.float32)
+        xg2 = jnp.zeros((N,), jnp.float32)
+        for corner in _CORNER_OFFSETS:
+            (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, corner)
+            cw = ax * ay * az
+            dwx = sx * ay * az
+            dwy = sy * ax * az
+            dwz = sz * ax * ay
+            idx = _corner_index_1d(grid_i, corner, res, dense_flag, T)
+            base = idx * F
+            for f in range(F):
+                ge_f = ge[f] * m
+                gx_f = ggx[f] * m * resf
+                gy_f = ggy[f] * m * resf
+                gz_f = ggz[f] * m * resf
+                # table cotangent: coefficient of feats in each output
+                coef = cw * ge_f + dwx * gx_f + dwy * gy_f + dwz * gz_f
+                tg = tg + jax.ops.segment_sum(coef, base + f,
+                                              num_segments=T * F)
+                feat = jnp.take(tab_l, base + f)
+                # x cotangent: d(enc)/dx needs one res (chain w->x); the
+                # cross second-derivative terms d(denc_i)/dx_j need res^2 —
+                # g*_f already carries one res, so multiply one more
+                xg0 = xg0 + feat * (dwx * ge_f * resf
+                                    + (sx * sy * az * gy_f
+                                       + sx * sz * ay * gz_f) * resf)
+                xg1 = xg1 + feat * (dwy * ge_f * resf
+                                    + (sy * sx * az * gx_f
+                                       + sy * sz * ax * gz_f) * resf)
+                xg2 = xg2 + feat * (dwz * ge_f * resf
+                                    + (sz * sx * ay * gx_f
+                                       + sz * sy * ax * gy_f) * resf)
+        return None, (tg, jnp.stack([xg0, xg1, xg2]))
+
+    _, (tgs, xg) = jax.lax.scan(
+        level_body, None,
+        (tab_flat, gl_enc, gl_x, gl_y, gl_z, jnp.asarray(res_np),
+         jnp.asarray(dense_np), mask_arr))
+    table_grad = tgs.reshape(cfg.n_levels, T, F)
+    x_grad = jnp.sum(xg, axis=0).T
+    return table_grad, x_grad, None
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _hashgrid_encode_with_grad_flat(table, x, cfg, level_mask):
+    return _encode_with_grad_impl(table, x, cfg, level_mask)
+
+
+_hashgrid_encode_with_grad_flat.defvjp(_ewg_fwd, _ewg_bwd)
+
+
+def hashgrid_encode_with_grad(table, x, cfg: HashGridConfig,
+                              level_mask=None):
+    """Encode + spatial gradient in one gather pass.
+
+    x [..., 3] in [0,1] -> (enc [..., L*F], denc [3, ..., L*F] where
+    denc[i] = d enc / d x_i). Both outputs carry exact custom gradients
+    (first-order wrt table and x; sufficient for normals + eikonal since
+    the pullback goes through ONE custom VJP, no reverse-over-reverse).
+    """
+    orig_shape = x.shape[:-1]
+    xf = x.reshape(-1, cfg.n_input_dims)
+    enc, gx, gy, gz = _hashgrid_encode_with_grad_flat(table, xf, cfg,
+                                                      level_mask)
+    D = cfg.n_output_dims
+    return (enc.reshape(*orig_shape, D),
+            jnp.stack([gx, gy, gz]).reshape(3, *orig_shape, D))
+
+
 def progressive_level_mask(cfg: HashGridConfig, global_step: float,
                            start_level: int, start_step: int,
                            update_steps: int) -> np.ndarray:

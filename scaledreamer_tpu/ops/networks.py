@@ -114,9 +114,13 @@ class HashGridEncoding(nn.Module):
         return self.grid.n_output_dims
 
     @nn.compact
-    def __call__(self, x, level_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, x, level_mask: Optional[jnp.ndarray] = None,
+                 with_grad: bool = False):
         table = self.param(
             "table", lambda key: init_hashgrid(key, self.grid, self.param_dtype))
+        if with_grad:
+            from .hashgrid import hashgrid_encode_with_grad
+            return hashgrid_encode_with_grad(table, x, self.grid, level_mask)
         return hashgrid_encode(table, x, self.grid, level_mask)
 
 
@@ -134,7 +138,17 @@ class CompositeEncoding(nn.Module):
                 + self.encoding.n_output_dims)
 
     @nn.compact
-    def __call__(self, x, *args, **kwargs):
+    def __call__(self, x, *args, with_grad: bool = False, **kwargs):
+        if with_grad:
+            enc, denc = self.encoding(x, *args, with_grad=True, **kwargs)
+            if self.include_xyz:
+                enc = jnp.concatenate(
+                    [x * self.xyz_scale + self.xyz_offset, enc], axis=-1)
+                eye = jnp.broadcast_to(
+                    jnp.eye(3)[:, None, :] * self.xyz_scale,
+                    (3, x.shape[0], 3))
+                denc = jnp.concatenate([eye, denc], axis=-1)
+            return enc, denc
         enc = self.encoding(x, *args, **kwargs)
         if not self.include_xyz:
             return enc
