@@ -107,8 +107,24 @@ class ImplicitSDF(nn.Module):
                     *points.shape[:-1], 3))
                 sdf_grad = normal
             elif nt == "analytic":
-                sdf_grad = jax.grad(
-                    lambda p: jnp.sum(self.forward_sdf(p)))(points_unscaled)
+                # fused encode+grad (see implicit_volume analytic branch)
+                enc_g, denc = self.encoding(
+                    pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+                scale = 1.0 / (2.0 * self.cfg.radius)
+                pflat = points_unscaled.reshape(-1, 3)
+
+                def sdf_of(e, p):
+                    return self.get_shifted_sdf(p, self.sdf_network(e))
+
+                grads = []
+                for axis in range(3):
+                    unit = jnp.zeros((1, 3)).at[0, axis].set(1.0)
+                    tangent_p = jnp.broadcast_to(unit, pflat.shape)
+                    _, ds = jax.jvp(sdf_of, (enc_g, pflat),
+                                    (denc[axis] * scale, tangent_p))
+                    grads.append(ds)
+                sdf_grad = jnp.concatenate(grads, axis=-1).reshape(
+                    *points.shape[:-1], 3)
                 normal = safe_normalize(sdf_grad)
             else:
                 raise ValueError(f"Unknown normal type {nt}")

@@ -120,8 +120,26 @@ class ImplicitVolume(nn.Module):
                 normal = safe_normalize(self.normal_network(enc).reshape(
                     *points.shape[:-1], 3))
             elif nt == "analytic":
-                grad = jax.grad(
-                    lambda p: jnp.sum(self.forward_density(p)))(points_unscaled)
+                # fused encode+grad: one gather pass yields enc and d enc/dx;
+                # jvp through (MLP + bias + activation) gives d density/dx
+                enc_g, denc = self.encoding(
+                    pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+                scale = 1.0 / (2.0 * self.cfg.radius)  # d pts / d points
+                pflat = points_unscaled.reshape(-1, 3)
+
+                def density_of(e, p):
+                    raw = self.density_network(e) + self._density_bias(p)
+                    return get_activation(self.cfg.density_activation)(raw)
+
+                grads = []
+                for axis in range(3):
+                    unit = jnp.zeros((1, 3)).at[0, axis].set(1.0)
+                    tangent_p = jnp.broadcast_to(unit, pflat.shape)
+                    _, dd = jax.jvp(density_of, (enc_g, pflat),
+                                    (denc[axis] * scale, tangent_p))
+                    grads.append(dd)
+                grad = jnp.concatenate(grads, axis=-1).reshape(
+                    *points.shape[:-1], 3)
                 normal = safe_normalize(-grad)
             else:
                 raise ValueError(f"Unknown normal type {nt}")
