@@ -106,9 +106,13 @@ class PromptProcessorOutput:
 
     def _select_vd(self, idx):
         if self._vd_is_batched:
+            vd = self.text_embeddings_vd
+            if vd.shape[0] != idx.shape[0]:
+                # n_view cameras per prompt: repeat per-prompt vd over views
+                assert idx.shape[0] % vd.shape[0] == 0
+                vd = jnp.repeat(vd, idx.shape[0] // vd.shape[0], axis=0)
             return jnp.take_along_axis(
-                self.text_embeddings_vd, idx[:, None, None, None],
-                axis=1).squeeze(1)
+                vd, idx[:, None, None, None], axis=1).squeeze(1)
         return jnp.take(self.text_embeddings_vd, idx, axis=0)
 
     def get_text_embeddings(self, elevation, azimuth, camera_distances,
@@ -120,8 +124,13 @@ class PromptProcessorOutput:
             text = self._select_vd(idx)
             uncond = jnp.take(self.uncond_text_embeddings_vd, idx, axis=0)
         else:
-            if self.text_embeddings.ndim == 3:  # per-sample [B, 77, C]
+            if self.text_embeddings.ndim == 3:  # per-prompt [Bp, 77, C]
                 text = self.text_embeddings
+                if text.shape[0] != B:
+                    # n_view cameras per prompt (multiview): repeat each
+                    # prompt's embedding over its views
+                    assert B % text.shape[0] == 0, (B, text.shape)
+                    text = jnp.repeat(text, B // text.shape[0], axis=0)
             else:
                 text = jnp.broadcast_to(
                     self.text_embeddings[None],
