@@ -102,7 +102,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_steps):
         state, metrics = run_step(i)
-    jax.block_until_ready(state.params)
+        # force completion with a scalar readback: on the axon relay,
+        # block_until_ready returns before execution finishes (measured),
+        # so timing must be anchored on a device->host fetch
+        loss_val = float(np.asarray(metrics["loss"]))
     elapsed = time.perf_counter() - t0
 
     iters_per_sec = n_steps / elapsed
@@ -123,7 +126,7 @@ def main():
             "samples_per_ray": S,
             "steps_timed": n_steps,
             "device": str(jax.devices()[0]),
-            "loss_final": float(np.asarray(metrics["loss"])),
+            "loss_final": loss_val,
         },
     }
     print(json.dumps(result))

@@ -54,6 +54,12 @@ def main(args, extras) -> None:
     sd.ensure_builtins()
     load_custom_modules(logger)
 
+    if getattr(args, "typecheck", False):
+        # runtime shape-contract checking (reference launch.py:135-138)
+        from scaledreamer_tpu.core import typing as sdtyping
+        sdtyping.enable()
+        logger.info("shape-contract typecheck enabled")
+
     n_devices = jax.device_count()
     cfg = load_config(args.config, cli_args=extras, n_gpus=n_devices)
 
@@ -151,6 +157,7 @@ if __name__ == "__main__":
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 5-15")
     parser.add_argument("--typecheck", action="store_true",
-                        help="accepted for reference-CLI parity")
+                        help="enable runtime shape-contract checking "
+                             "(reference jaxtyping/typeguard hook analog)")
     args, extras = parser.parse_known_args()
     main(args, extras)

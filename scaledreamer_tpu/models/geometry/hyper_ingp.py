@@ -201,6 +201,10 @@ class HyperINGP(nn.Module):
                     grads.append((s_off - sdf) / eps)
                 sdf_grad = jnp.concatenate(grads, axis=-1)
             elif nt == "analytic":
+                if self.cfg.unbounded:
+                    raise NotImplementedError(
+                        "analytic normals assume the linear bbox contraction "
+                        "jacobian; use finite_difference with unbounded=True")
                 # fused path: ONE gather yields enc AND d(enc)/dx
                 # (ops/hashgrid.hashgrid_encode_with_grad); chain through the
                 # tiny bmm head via jvp — normals add no extra table gathers

@@ -107,6 +107,10 @@ class ImplicitSDF(nn.Module):
                     *points.shape[:-1], 3))
                 sdf_grad = normal
             elif nt == "analytic":
+                if self.cfg.unbounded:
+                    raise NotImplementedError(
+                        "analytic normals assume the linear bbox contraction "
+                        "jacobian; use finite_difference with unbounded=True")
                 # fused encode+grad (see implicit_volume analytic branch)
                 enc_g, denc = self.encoding(
                     pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)

@@ -120,6 +120,12 @@ class ImplicitVolume(nn.Module):
                 normal = safe_normalize(self.normal_network(enc).reshape(
                     *points.shape[:-1], 3))
             elif nt == "analytic":
+                if self.cfg.unbounded:
+                    raise NotImplementedError(
+                        "analytic normals assume the linear bbox contraction "
+                        "jacobian 1/(2*radius); unbounded=True applies the "
+                        "nonlinear mipnerf360 contraction — use "
+                        "finite_difference normals instead")
                 # fused encode+grad: one gather pass yields enc and d enc/dx;
                 # jvp through (MLP + bias + activation) gives d density/dx
                 enc_g, denc = self.encoding(

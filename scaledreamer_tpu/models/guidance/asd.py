@@ -2,8 +2,8 @@
 
 Parity target: reference
 `threestudio/models/guidance/stable_diffusion_asd_guidance.py:211-441`:
-- t ~ U[min_step, max_step]; t+ = clamp(t + plus_ratio*(t-min_step)*[rand], 1, T-1)
-  (get_t_plus :294-316),
+- t ~ U[min_step, max_step]; shift = clamp(plus_ratio*(t-min_step), 0, T-t-1)
+  then t+ = clamp(t + shift*[rand], 1, T-1) (get_t_plus :294-316),
 - shared noise at t and t+ (:242-246),
 - ONE batched UNet pass over [cond, uncond, (2B perp-neg), t+-cond] (:396-403),
 - CFG + perp-neg aggregation (:405-428 with ops.perpendicular_component),
@@ -41,6 +41,11 @@ def sample_timesteps(rng, batch_size: int, min_step, max_step):
 
 def get_t_plus(rng, t, min_step, cfg: ASDConfig):
     t_plus = cfg.plus_ratio * (t - min_step).astype(jnp.float32)
+    # reference pre-clamps the shift to the remaining headroom T-t-1 BEFORE
+    # the random scaling (stable_diffusion_asd_guidance.py:300-304), keeping
+    # the t+ distribution uniform over the headroom near max_step.
+    t_plus = jnp.clip(t_plus, 0.0,
+                      (cfg.num_train_timesteps - 1 - t).astype(jnp.float32))
     if cfg.plus_random:
         t_plus = t_plus * jax.random.uniform(rng, t.shape)
     t_plus = t + t_plus.astype(jnp.int32)

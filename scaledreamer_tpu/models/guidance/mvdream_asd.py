@@ -162,6 +162,11 @@ class MVDreamAsdGuidance(BaseObject):
         _t = jax.random.randint(k_t, (1,), min_step, max_step + 1)
         t = jnp.broadcast_to(_t, (B,))
         t_plus_s = self.cfg.plus_ratio * (_t - min_step).astype(jnp.float32)
+        # pre-clamp shift to the headroom T-t-1 before random scaling
+        # (reference mvdream_asd_guidance.py get_t_plus)
+        t_plus_s = jnp.clip(
+            t_plus_s, 0.0,
+            (self.num_train_timesteps - 1 - _t).astype(jnp.float32))
         if self.cfg.plus_random:
             t_plus_s = t_plus_s * jax.random.uniform(k_plus, (1,))
         t_plus = jnp.clip(_t + t_plus_s.astype(jnp.int32), 1,

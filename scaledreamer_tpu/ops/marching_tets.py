@@ -1,0 +1,255 @@
+"""In-graph (jit-compatible) marching tetrahedra with fixed topology.
+
+The reference's mesh-stage path extracts an isosurface every training step
+and differentiates through vertex positions (threestudio
+`MarchingTetrahedraHelper`, reference threestudio/models/isosurface.py:69-253,
+driven by systems/scaledreamer.py:133-146). CUDA/torch tolerates dynamic
+vertex/face counts; XLA does not, so this is the standard fixed-topology
+formulation (DMTet-style):
+
+- every unique tet-grid edge owns one POTENTIAL vertex slot ([E, 3]); the
+  position is the sign-change interpolation (differentiable w.r.t. the SDF),
+  meaningless-but-finite for non-crossing edges,
+- every tet owns two POTENTIAL triangle slots ([2*T, 3] edge ids) with a
+  validity mask from the 16-case sign table,
+- downstream consumers (rasterizer, regularizers) mask by validity; XLA sees
+  only static shapes.
+
+Winding is resolved at runtime from the tet's inside→outside direction —
+the same orientation rule as the offline numpy extractor
+(models/isosurface.py) — so face normals always point out of the SDF.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Kuhn subdivision (same as models/isosurface.py): cube corners bit-indexed
+# x + 2y + 4z; 6 tets share the 0-7 diagonal.
+_CUBE_TETS = np.array([
+    [0, 1, 3, 7],
+    [0, 1, 5, 7],
+    [0, 2, 3, 7],
+    [0, 2, 6, 7],
+    [0, 4, 5, 7],
+    [0, 4, 6, 7],
+], dtype=np.int64)
+
+_CORNER_OFFSETS = np.array(
+    [[(i >> 0) & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)],
+    dtype=np.int64)
+
+# local tet edges, fixed order
+_LOCAL_EDGES = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+_LOCAL_EDGE_IDX = {e: i for i, e in enumerate(_LOCAL_EDGES)}
+
+
+def _make_tri_table() -> np.ndarray:
+    """[16, 2, 3] local-edge ids per sign case (-1 = no triangle).
+
+    Derived from the same case constructor as the offline extractor
+    (models/isosurface.py _tet_triangles); winding is fixed at runtime.
+    """
+    from ..models.isosurface import _tet_triangles
+    table = -np.ones((16, 2, 3), np.int32)
+    for case in range(16):
+        inside = np.array([(case >> i) & 1 for i in range(4)], bool)
+        tris = _tet_triangles(inside)
+        for ti, tri in enumerate(tris):
+            for vi, (a, b) in enumerate(tri):
+                table[case, ti, vi] = _LOCAL_EDGE_IDX[(min(a, b), max(a, b))]
+    return table
+
+
+class TetTopology(NamedTuple):
+    """Static (host-precomputed) tet-grid topology for resolution R."""
+    verts_unit: np.ndarray   # [G, 3] grid points in [0, 1]^3
+    tets: np.ndarray         # [T, 4] int32 grid-vertex ids
+    edges: np.ndarray        # [E, 2] int32 unique grid-vertex pairs
+    tet2edge: np.ndarray     # [T, 6] int32 global edge id per local edge
+    tri_table: np.ndarray    # [16, 2, 3] local edge ids
+    resolution: int
+
+    @property
+    def n_edges(self) -> int:
+        return self.edges.shape[0]
+
+    @property
+    def n_tets(self) -> int:
+        return self.tets.shape[0]
+
+
+@functools.lru_cache(maxsize=4)
+def build_tet_topology(resolution: int) -> TetTopology:
+    """Precompute the fixed tet-grid topology (host-side, cached)."""
+    R = resolution
+    n = R - 1  # cells per axis
+
+    ii, jj, kk = np.meshgrid(np.arange(R), np.arange(R), np.arange(R),
+                             indexing="ij")
+    verts_unit = (np.stack([ii, jj, kk], -1).reshape(-1, 3)
+                  / max(1, R - 1)).astype(np.float32)
+
+    def vid(i, j, k):
+        return (i * R + j) * R + k
+
+    ci, cj, ck = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                             indexing="ij")
+    base = np.stack([ci, cj, ck], -1).reshape(-1, 3)  # [M, 3]
+    corners = base[:, None, :] + _CORNER_OFFSETS[None]  # [M, 8, 3]
+    corner_ids = vid(corners[..., 0], corners[..., 1], corners[..., 2])
+    tets = corner_ids[:, _CUBE_TETS].reshape(-1, 4).astype(np.int64)  # [6M,4]
+
+    # unique edges + per-tet edge-id map
+    le = np.asarray(_LOCAL_EDGES)
+    ev = np.stack([tets[:, le[:, 0]], tets[:, le[:, 1]]], axis=-1)  # [T,6,2]
+    ev = np.sort(ev, axis=-1).reshape(-1, 2)
+    keys = ev[:, 0] * (R ** 3) + ev[:, 1]
+    uniq, inv = np.unique(keys, return_inverse=True)
+    edges = np.stack([uniq // (R ** 3), uniq % (R ** 3)], -1)
+    tet2edge = inv.reshape(-1, 6)
+
+    return TetTopology(
+        verts_unit=verts_unit,
+        tets=tets.astype(np.int32),
+        edges=edges.astype(np.int32),
+        tet2edge=tet2edge.astype(np.int32),
+        tri_table=_make_tri_table(),
+        resolution=R,
+    )
+
+
+class MTOutput(NamedTuple):
+    v_pos: jnp.ndarray       # [E, 3] potential vertex positions (world)
+    v_valid: jnp.ndarray     # [E] bool — edge crosses the isosurface
+    faces: jnp.ndarray       # [2T, 3] int32 edge-vertex ids (winding fixed)
+    face_valid: jnp.ndarray  # [2T] bool
+    face_normal: jnp.ndarray  # [2T, 3] unit normals (garbage where invalid)
+    face_area: jnp.ndarray   # [2T]
+
+
+def marching_tets(sdf: jnp.ndarray, grid_verts: jnp.ndarray,
+                  topo: TetTopology, iso: float = 0.0) -> MTOutput:
+    """Differentiable fixed-shape marching tets.
+
+    sdf: [G] field at grid_verts ([G, 3] world coords, same ordering as
+    topo.verts_unit). Inside = sdf < iso. Gradients flow to `sdf` and
+    `grid_verts` through the edge interpolation.
+    """
+    s = sdf.reshape(-1) - iso
+    edges = jnp.asarray(topo.edges)
+    e0, e1 = edges[:, 0], edges[:, 1]
+    s0 = jnp.take(s, e0)
+    s1 = jnp.take(s, e1)
+    v_valid = (s0 < 0) != (s1 < 0)
+    denom = s0 - s1
+    t = jnp.where(jnp.abs(denom) > 1e-12, s0 / jnp.where(
+        jnp.abs(denom) > 1e-12, denom, 1.0), 0.5)
+    t = jnp.clip(t, 0.0, 1.0)[:, None]
+    p0 = jnp.take(grid_verts, e0, axis=0)
+    p1 = jnp.take(grid_verts, e1, axis=0)
+    v_pos = p0 + t * (p1 - p0)  # [E, 3]
+
+    tets = jnp.asarray(topo.tets)
+    tv = jnp.take(s, tets.reshape(-1)).reshape(-1, 4)     # [T, 4]
+    inside = tv < 0
+    case = jnp.sum(inside.astype(jnp.int32)
+                   * jnp.asarray([1, 2, 4, 8], jnp.int32), axis=-1)  # [T]
+    tri_local = jnp.asarray(topo.tri_table)[case]          # [T, 2, 3]
+    tri_valid = tri_local[..., 0] >= 0                     # [T, 2]
+    tet2edge = jnp.asarray(topo.tet2edge)                  # [T, 6]
+    eid = jnp.take_along_axis(
+        tet2edge[:, None, :].repeat(2, axis=1),
+        jnp.clip(tri_local, 0, 5), axis=2)                 # [T, 2, 3]
+
+    # inside->outside direction per tet (orientation rule of the offline
+    # extractor): centroid(outside corners) - centroid(inside corners)
+    tp = jnp.take(grid_verts, tets.reshape(-1), axis=0).reshape(-1, 4, 3)
+    tp = jax.lax.stop_gradient(tp)
+    w_in = inside.astype(jnp.float32)
+    n_in = jnp.clip(w_in.sum(-1, keepdims=True), 1.0, 3.0)
+    p_in = (tp * w_in[..., None]).sum(1) / n_in
+    p_out = (tp * (1.0 - w_in)[..., None]).sum(1) / (4.0 - n_in)
+    out_dir = p_out - p_in                                 # [T, 3]
+
+    faces = eid.reshape(-1, 3)                             # [2T, 3]
+    face_valid = tri_valid.reshape(-1)
+    fv = jnp.take(v_pos, faces.reshape(-1), axis=0).reshape(-1, 3, 3)
+    normal = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    out_rep = jnp.repeat(out_dir, 2, axis=0)
+    flip = jnp.sum(jax.lax.stop_gradient(normal) * out_rep,
+                   axis=-1) < 0                            # [2T]
+    faces = jnp.where(flip[:, None],
+                      faces[:, jnp.asarray([0, 2, 1])], faces)
+    normal = jnp.where(flip[:, None], -normal, normal)
+    area2 = jnp.linalg.norm(normal, axis=-1)
+    unit_n = normal / jnp.maximum(area2, 1e-12)[:, None]
+    return MTOutput(v_pos=v_pos, v_valid=v_valid, faces=faces,
+                    face_valid=face_valid, face_normal=unit_n,
+                    face_area=0.5 * area2)
+
+
+# ---------------------------------------------------------------------------
+# In-graph mesh regularizers (reference Mesh.normal_consistency /
+# Mesh.laplacian, threestudio/models/mesh.py — recast over the fixed
+# masked topology; see each docstring for the exact formulation delta).
+# ---------------------------------------------------------------------------
+
+
+def vertex_normals(mt: MTOutput) -> jnp.ndarray:
+    """Area-weighted vertex normals over valid faces ([E, 3], unit)."""
+    E = mt.v_pos.shape[0]
+    w = mt.face_valid.astype(jnp.float32)[:, None]
+    contrib = mt.face_normal * mt.face_area[:, None] * w        # [2T, 3]
+    acc = jnp.zeros((E, 3))
+    ids = mt.faces.reshape(-1)
+    rep = jnp.repeat(contrib, 3, axis=0)
+    acc = acc.at[ids].add(rep)
+    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / jnp.maximum(norm, 1e-12)
+
+
+def normal_consistency_loss(mt: MTOutput) -> jnp.ndarray:
+    """Smoothness of face normals.
+
+    Reference (mesh.py normal_consistency) averages 1 - cos(n_i, n_j) over
+    face pairs sharing an edge; with masked fixed topology the pair list is
+    dynamic, so this uses the equivalent vertex-normal form: mean over valid
+    (face, corner) of 1 - <face_normal, vertex_normal> — identical gradient
+    direction (pulls adjacent face normals together through the shared
+    vertex average), fully static shapes.
+    """
+    vn = vertex_normals(mt)                                 # [E, 3]
+    fvn = jnp.take(vn, mt.faces.reshape(-1), axis=0).reshape(-1, 3, 3)
+    cos = jnp.sum(fvn * mt.face_normal[:, None, :], axis=-1)  # [2T, 3]
+    w = mt.face_valid.astype(jnp.float32)[:, None]
+    return jnp.sum((1.0 - cos) * w) / jnp.maximum(jnp.sum(w) * 3.0, 1.0)
+
+
+def laplacian_loss(mt: MTOutput) -> jnp.ndarray:
+    """Uniform-Laplacian smoothness (reference mesh.py laplacian): for each
+    valid vertex, || v - mean(neighbors) ||, neighbors accumulated over the
+    valid triangles via scatter-add (deterministic on TPU)."""
+    E = mt.v_pos.shape[0]
+    w = mt.face_valid.astype(jnp.float32)
+    f = mt.faces
+    nbr = jnp.zeros((E, 3))
+    deg = jnp.zeros((E,))
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        va, vb = f[:, a], f[:, b]
+        pb = jnp.take(mt.v_pos, vb, axis=0) * w[:, None]
+        pa = jnp.take(mt.v_pos, va, axis=0) * w[:, None]
+        nbr = nbr.at[va].add(pb)
+        nbr = nbr.at[vb].add(pa)
+        deg = deg.at[va].add(w)
+        deg = deg.at[vb].add(w)
+    has = deg > 0
+    mean_nbr = nbr / jnp.maximum(deg, 1.0)[:, None]
+    diff = jnp.linalg.norm((mt.v_pos - mean_nbr)
+                           * has.astype(jnp.float32)[:, None], axis=-1)
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)

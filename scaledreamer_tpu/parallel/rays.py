@@ -1,0 +1,67 @@
+"""Ray-axis sharding for big eval renders (SURVEY.md §5 long-context analog).
+
+A 512² eval camera is 262k rays × ~192 samples — too big for one chip's HBM
+in a single launch and embarrassingly parallel: rays are independent and the
+only shared state (params, generator space_cache, light position) is
+replicated. `shard_map` over the ray axis is the volume-rendering equivalent
+of context parallelism: each device renders its contiguous ray block with NO
+collectives; results concatenate on the host.
+
+Reference contrast: threestudio chunks rays sequentially on one GPU
+(`chunk_batch`, threestudio/utils/ops.py:116-180; `eval_chunk_size`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_ray_sharded_render(mesh: Mesh, chunk_fn: Callable) -> Callable:
+    """Build a sharded whole-image renderer from a per-block renderer.
+
+    chunk_fn(params, rays_o [n,3], rays_d [n,3], extra: dict) must return a
+    dict of [n, C] arrays and be shape-polymorphic in n (it is traced once
+    per distinct padded size). `extra` entries are replicated (light
+    positions, text_embed, noise, ...).
+
+    Returns render(params, rays_o [N,3], rays_d [N,3], extra) -> {k: [N,C]}
+    with N padded internally to a multiple of the mesh size.
+    """
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    local = shard_map(
+        chunk_fn, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=P("data"))
+    jitted = jax.jit(local)
+
+    def render(params, rays_o, rays_d, extra: Optional[Dict] = None):
+        extra = extra if extra is not None else {}
+        N = rays_o.shape[0]
+        pad = (-N) % n_dev
+        if pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.broadcast_to(rays_o[:1], (pad, 3))], axis=0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.broadcast_to(rays_d[:1], (pad, 3))], axis=0)
+        out = jitted(params, jnp.asarray(rays_o), jnp.asarray(rays_d), extra)
+        return {k: v[:N] for k, v in out.items()}
+
+    return render
+
+
+def ray_sharded_render(mesh: Mesh, chunk_fn: Callable, params, rays_o,
+                       rays_d, extra: Optional[Dict] = None):
+    """One-shot convenience wrapper around `make_ray_sharded_render`."""
+    return make_ray_sharded_render(mesh, chunk_fn)(
+        params, rays_o, rays_d, extra)

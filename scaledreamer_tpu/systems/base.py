@@ -255,6 +255,8 @@ class BaseLift3DSystem(BaseObject):
     def prepare_batch(self, batch: Dict) -> Dict:
         """Host-side batch augmentation before the jitted step (overridden by
         the amortized system to inject per-prompt embedding arrays)."""
+        from ..core import typing as sdtyping
+        sdtyping.check_batch(batch)
         return batch
 
     def build_prompt_utils(self, batch: Dict):

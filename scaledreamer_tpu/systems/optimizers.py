@@ -23,7 +23,7 @@ class AdanState(NamedTuple):
     count: jnp.ndarray
     exp_avg: Any        # m: EMA of grads
     exp_avg_diff: Any   # v: EMA of grad differences
-    exp_avg_sq: Any     # n: EMA of (g + (1-b2)*diff)^2
+    exp_avg_sq: Any     # n: EMA of (g + b2*diff)^2
     prev_grad: Any
 
 
@@ -56,13 +56,16 @@ def adan(learning_rate: float, b1: float = 0.98, b2: float = 0.92,
                          state.exp_avg, grads)
         v = jax.tree.map(lambda v, d: b2 * v + (1 - b2) * d,
                          state.exp_avg_diff, diff)
-        upd = jax.tree.map(lambda g, d: g + (1 - b2) * d, grads, diff)
+        # reference _single_tensor_adan: neg_grad_or_diff.mul_(b2).add_(grad)
+        # -> n tracks (g + b2*diff)^2
+        upd = jax.tree.map(lambda g, d: g + b2 * d, grads, diff)
         n = jax.tree.map(lambda n, u: b3 * n + (1 - b3) * u * u,
                          state.exp_avg_sq, upd)
 
         def step(m_, v_, n_, p_):
             denom = jnp.sqrt(n_ / bc3) + eps
-            update = (m_ / bc1 + (1 - b2) * v_ / bc2) / denom
+            # reference: step_size = lr/bc1, step_size_diff = lr*b2/bc2
+            update = (m_ / bc1 + b2 * v_ / bc2) / denom
             new_p = p_ - learning_rate * update
             # decoupled weight decay (proximal form): p /= (1 + lr*wd)
             if weight_decay > 0:

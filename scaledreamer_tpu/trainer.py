@@ -106,8 +106,8 @@ class Trainer:
         mesh = None
         n_dev = jax.local_device_count()
         if n_dev > 1:
-            from jax.sharding import Mesh
-            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+            from .parallel import make_data_mesh
+            mesh = make_data_mesh()
             if hasattr(dataset, "batch_sizes"):
                 dataset.batch_sizes = [b * n_dev for b in dataset.batch_sizes]
                 dataset.batch_size = dataset.batch_sizes[0]
@@ -121,8 +121,8 @@ class Trainer:
             state, self.global_step = self.load_checkpoint(resume, state)
 
         if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            repl = NamedSharding(mesh, P())
+            from .parallel import replicated
+            repl = replicated(mesh)
             state = jax.device_put(state, repl)
             guidance_params = jax.device_put(self.system.guidance_params,
                                              repl)
@@ -158,18 +158,12 @@ class Trainer:
                     step % self.cfg.occ_update_interval == 0 and step > 0:
                 state = occ_update(state, jax.random.fold_in(step_rng, 7))
 
-            jb = {k: v for k, v in batch.items()
-                  if isinstance(v, (np.ndarray, jax.Array))}
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                B = shape[0]
-                data_s = NamedSharding(mesh, P("data"))
-                repl_s = NamedSharding(mesh, P())
-                jb = {k: jax.device_put(
-                          np.asarray(v),
-                          data_s if np.asarray(v).shape[:1] == (B,)
-                          else repl_s)
-                      for k, v in jb.items()}
+                from .parallel import shard_batch
+                jb = shard_batch(mesh, batch, shape[0])
+            else:
+                jb = {k: v for k, v in batch.items()
+                      if isinstance(v, (np.ndarray, jax.Array))}
             if self.profile and step == 5:
                 jax.profiler.start_trace(profile_dir)
             state, metrics = train_step(state, guidance_params, jb, scalars,
@@ -228,11 +222,19 @@ class Trainer:
                            if k in ("loss", "loss_asd", "iters_per_sec"))
             logger.info("step %d | %s", step, msg)
 
+    def _eval_render(self):
+        """Cached eval render closure: building a fresh one per validate()
+        call would discard the jit cache (first compiles are minutes on this
+        environment)."""
+        if getattr(self, "_eval_render_fn", None) is None:
+            self._eval_render_fn = self.system.make_eval_render()
+        return self._eval_render_fn
+
     # ------------------------------------------------------------------
     def validate(self, state=None, tag: Optional[str] = None):
         state = state if state is not None else self.state
         self.dm.setup("validate")
-        render = self.system.make_eval_render()
+        render = self._eval_render()
         ds = self.dm.val_dataset
         tag = tag or f"it{self.global_step}-val"
         frames = []
@@ -252,7 +254,7 @@ class Trainer:
     def test(self, state=None, tag: Optional[str] = None):
         state = state if state is not None else self.state
         self.dm.setup("test")
-        render = self.system.make_eval_render()
+        render = self._eval_render()
         ds = self.dm.test_dataset
         tag = tag or f"it{self.global_step}-test"
         frames = []

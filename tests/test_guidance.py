@@ -50,6 +50,23 @@ def test_t_plus_properties():
     assert (np.asarray(tpr) <= np.asarray(tp)).all()
 
 
+def test_t_plus_headroom_preclamp_near_max_step():
+    """Reference pre-clamps the shift to T-t-1 BEFORE random scaling
+    (stable_diffusion_asd_guidance.py:300-304): with plus_random=True and t
+    near 999 the shift distribution stays ~uniform over the headroom instead
+    of piling mass at 999 through the final clip."""
+    cfg = ASDConfig(plus_ratio=0.5, plus_random=True)
+    t = jnp.full((20000,), 990, jnp.int32)
+    tp = np.asarray(get_t_plus(jax.random.PRNGKey(0), t, 20, cfg))
+    shift = tp - 990
+    # headroom = 1000 - 990 - 1 = 9; raw shift 0.5*(990-20)=485 >> 9
+    assert shift.min() >= 0 and shift.max() <= 9
+    # uniform over [0,9): mean ~4.5 after floor -> ~4.0; mass at the top
+    # bucket must be ~1/9, NOT a point mass (was >90% pre-fix)
+    assert (shift == 9).mean() < 0.2
+    assert abs(shift.mean() - 4.0) < 0.3
+
+
 def test_timestep_sampling_bounds():
     t = sample_timesteps(jax.random.PRNGKey(0), 512, 20, 980)
     assert int(t.min()) >= 20 and int(t.max()) <= 980

@@ -1,0 +1,178 @@
+"""Multi-chip data-parallel + ray-sharded eval tests on the 8-device CPU mesh.
+
+Covers the reference's DP contract (SURVEY.md §2.2 row 1 — PL DDP: batch
+split across ranks, params replicated, gradients allreduced) as a GSPMD
+train step, plus the ray-axis shard_map eval path (SURVEY.md §5).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import scaledreamer_tpu as sd
+from scaledreamer_tpu.core.config import parse_structured
+from scaledreamer_tpu.parallel import (data_sharding, make_data_mesh,
+                                       replicated, shard_batch)
+
+sd.ensure_builtins()
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    cpus = jax.devices("cpu")
+    assert len(cpus) >= N_DEV, "conftest must force 8 CPU devices"
+    return make_data_mesh(cpus[:N_DEV])
+
+
+def _tiny_amortized_system():
+    tiny_enc = {"otype": "HashGrid", "n_levels": 4, "n_features_per_level": 2,
+                "log2_hashmap_size": 8, "base_resolution": 4,
+                "per_level_scale": 1.5}
+    cls = sd.find("multiprompt-radience-field-generator-system")
+    return cls(cfg=parse_structured(cls.Config, {
+        "geometry_type": "Hyper-iNGP",
+        "geometry": {
+            "radius": 2.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+            "normal_type": "analytic",
+            "pos_encoding_config": tiny_enc,
+            "hypernet_config": {
+                "c_dim": 1024,
+                "out_dims": {"sdf_weights": [16, 1],
+                             "feature_weights": [16, 3]},
+                "spectral_norm": False, "n_neurons": 16,
+                "n_hidden_layers": 1, "output_activation": None}},
+        "material_type": "no-material",
+        "material": {"requires_normal": True},
+        "background_type": "solid-color-background",
+        "renderer_type": "generative-space-volsdf-volume-renderer",
+        "renderer": {"radius": 2.0, "use_volsdf": True,
+                     "trainable_variance": False,
+                     "learned_variance_init": 0.340119,
+                     "estimator": "importance",
+                     "num_samples_per_ray": 6,
+                     "num_samples_per_ray_importance": 6,
+                     "near_plane": 0.1, "far_plane": 4.0},
+        "guidance_type": "dummy-guidance",
+        "guidance": {"target_color": (1.0, 0.2, 0.2)},
+        "prompt_processor_type": "dummy-multi-prompt-processor",
+        "prompt_processor": {
+            "prompt_library": "magic3d_15_prompt_library",
+            "prompt_library_dir": "load",
+            "cache_dir": "/tmp/sdtpu_test_parallel_cache"},
+        "loss": {"lambda_asd": 1.0, "lambda_sparsity": 1.0},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-2},
+                      "params": {"geometry": {"lr": 1e-2}}},
+    }))
+
+
+def _batch(system, B, H=6, W=6):
+    dm_cls = sd.find("multiprompt-camera-datamodule")
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, {
+        "batch_size": B, "width": W, "height": H, "dim_gaussian": 8,
+        "prompt_library": "magic3d_15_prompt_library",
+        "prompt_library_dir": "load"}), seed=0)
+    dm.setup("fit")
+    return system.prepare_batch(dm.train_batch())
+
+
+@pytest.fixture(scope="module")
+def sharded_step(mesh):
+    system = _tiny_amortized_system()
+    rng = jax.random.PRNGKey(0)
+    system.on_fit_start(rng)
+    B = N_DEV
+    batch = _batch(system, B)
+    state = system.init_state(rng, batch)
+    train_step = system.make_train_step(mesh=None)
+    repl = replicated(mesh)
+    state = jax.device_put(state, repl)
+    gp = jax.device_put(system.guidance_params, repl)
+    jb = shard_batch(mesh, batch, B)
+    scalars = system.schedule_scalars(0, 0)
+    new_state, metrics = train_step(state, gp, jb, scalars, rng)
+    jax.block_until_ready(new_state.params)
+    return system, state, new_state, metrics, jb, mesh
+
+
+def test_batch_is_sharded_params_replicated(sharded_step):
+    system, state, new_state, metrics, jb, mesh = sharded_step
+    # batch arrays with leading dim B sharded over 'data'
+    ro = jb["rays_o"]
+    assert len(ro.sharding.device_set) == N_DEV
+    shard_shapes = {s.data.shape for s in ro.addressable_shards}
+    assert shard_shapes == {(1,) + ro.shape[1:]}
+    # per-device batch shards genuinely differ (different cameras/prompts)
+    shards = [np.asarray(s.data) for s in ro.addressable_shards]
+    assert not np.allclose(shards[0], shards[1])
+    # params replicated: every device holds the full array (use new_state —
+    # the input state was donated to the jitted step)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert all(s.data.shape == leaf.shape for s in leaf.addressable_shards)
+
+
+def test_sharded_step_finite_and_params_consistent(sharded_step):
+    system, state, new_state, metrics, jb, mesh = sharded_step
+    loss = float(np.asarray(metrics["loss"]))
+    assert np.isfinite(loss)
+    # post-step params identical across devices (gradient psum kept the
+    # replicas in sync — the DDP allreduce contract)
+    moved = 0.0
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        datas = [np.asarray(s.data) for s in leaf.addressable_shards]
+        for d in datas[1:]:
+            np.testing.assert_allclose(datas[0], d, rtol=0, atol=0)
+        moved += float(np.abs(datas[0]).sum())
+    assert moved > 0
+
+
+def test_sharded_grads_average_matches_single_device(mesh):
+    """The sharded step must compute the mean-over-global-batch gradient:
+    a jitted sum-of-squares loss over a sharded batch equals the
+    single-device result."""
+
+    def loss_fn(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    w = jnp.ones((4, 2))
+    x = np.random.default_rng(0).standard_normal((N_DEV * 2, 4)).astype(
+        np.float32)
+    g_single = jax.grad(loss_fn)(w, jnp.asarray(x))
+
+    repl = replicated(mesh)
+    data = data_sharding(mesh)
+    w_r = jax.device_put(w, repl)
+    x_s = jax.device_put(jnp.asarray(x), data)
+    g_sharded = jax.jit(jax.grad(loss_fn))(w_r, x_s)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single),
+                               rtol=1e-6)
+
+
+def test_ray_sharded_render_matches_unsharded(mesh):
+    """shard_map over the ray axis gives bit-comparable results to the
+    single-device render (rays are independent)."""
+    from scaledreamer_tpu.parallel import ray_sharded_render
+
+    def chunk_fn(params, rays_o, rays_d, extra):
+        # a fake renderer: rgb from direction, depth from origin norm
+        rgb = jnp.tanh(rays_d @ params["w"]) + extra["bias"]
+        depth = jnp.linalg.norm(rays_o, axis=-1, keepdims=True)
+        return {"comp_rgb": rgb, "depth": depth}
+
+    rng = np.random.default_rng(1)
+    N = 100  # deliberately NOT divisible by 8 -> exercises padding
+    rays_o = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
+    rays_d = jnp.asarray(rng.standard_normal((N, 3)).astype(np.float32))
+    params = {"w": jnp.asarray(rng.standard_normal((3, 3)).astype(np.float32))}
+    extra = {"bias": jnp.float32(0.25)}
+
+    expected = chunk_fn(params, rays_o, rays_d, extra)
+    got = ray_sharded_render(mesh, chunk_fn, params, rays_o, rays_d, extra)
+    for k in expected:
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(expected[k]),
+                                   rtol=1e-5, atol=1e-6)
+        assert got[k].shape[0] == N

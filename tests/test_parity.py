@@ -91,10 +91,14 @@ def test_adan_matches_reference_math():
         bc3 = 1 - b3 ** step
         m = b1 * m + (1 - b1) * gd
         v = b2 * v + (1 - b2) * diff
-        upd = gd + (1 - b2) * diff
+        # transcribed from reference _single_tensor_adan
+        # (threestudio/systems/optimizers.py:252-278):
+        # neg_grad_or_diff.mul_(b2).add_(grad) -> g + b2*diff;
+        # step sizes lr/bc1 and lr*b2/bc2.
+        upd = gd + b2 * diff
         n_ = b3 * n_ + (1 - b3) * upd * upd
         denom = np.sqrt(n_ / bc3) + eps
-        update = (m / bc1 + (1 - b2) * v / bc2) / denom
+        update = (m / bc1 + b2 * v / bc2) / denom
         p_ref = (p_ref - lr * update) / (1 + lr * wd)
 
     assert np.allclose(np.asarray(p), p_ref, atol=1e-5), \

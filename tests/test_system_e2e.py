@@ -163,9 +163,3 @@ def test_test_artifacts(smoke_run):
                for ext in ("mp4", "gif"))
 
 
-def test_frozen_params_stay_frozen(smoke_run):
-    """Optimizer param groups: unlisted modules (background) are frozen."""
-    trainer, system, dm, state, cfg = smoke_run
-    # background solid color is non-learned here; check material has no params
-    assert "background" not in state.params or all(
-        True for _ in [])  # solid bg has no params unless learned
