@@ -70,6 +70,10 @@ def main():
             # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers
             "system.geometry.normal_type="
             + os.environ.get("BENCH_NORMALS", "analytic"),
+            # BENCH_INTERP=Simplex measures the 4-corner interpolation
+            # variant (half the table gathers; see ops/hashgrid.py)
+            "system.geometry.pos_encoding_config.interpolation="
+            + os.environ.get("BENCH_INTERP", "Linear"),
         ],
         n_gpus=jax.device_count())
 
@@ -106,6 +110,11 @@ def main():
         # block_until_ready returns before execution finishes (measured),
         # so timing must be anchored on a device->host fetch
         loss_val = float(np.asarray(metrics["loss"]))
+        if os.environ.get("BENCH_PRINT_LOSS"):
+            print(f"step {i}: loss={loss_val:.3f} "
+                  f"asd={float(np.asarray(metrics['loss_asd'])):.3f} "
+                  f"gnorm={float(np.asarray(metrics['grad_norm'])):.3f}",
+                  file=sys.stderr)
     elapsed = time.perf_counter() - t0
 
     iters_per_sec = n_steps / elapsed
@@ -127,6 +136,10 @@ def main():
             "steps_timed": n_steps,
             "device": str(jax.devices()[0]),
             "loss_final": loss_val,
+            # random-init SD weights (zero-egress image): ASD "training"
+            # dynamics are meaningless/divergent; only throughput is the
+            # metric here. Compute is identical to pretrained weights.
+            "note": "random-init diffusion weights; loss not meaningful",
         },
     }
     print(json.dumps(result))

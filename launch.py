@@ -71,12 +71,20 @@ def main(args, extras) -> None:
     system_cls = sd.find(cfg.system_type)
     system = system_cls(cfg=parse_structured(system_cls.Config, cfg.system))
 
-    # config + command snapshots (reference utils/callbacks.py:97-110)
+    # config + command + code snapshots (reference utils/callbacks.py:60-110)
     if jax.process_index() == 0:
+        import shutil
         os.makedirs(os.path.join(cfg.trial_dir, "configs"), exist_ok=True)
         dump_config(os.path.join(cfg.trial_dir, "configs", "parsed.yaml"), cfg)
+        with contextlib.suppress(OSError):
+            shutil.copyfile(args.config,
+                            os.path.join(cfg.trial_dir, "configs",
+                                         "raw.yaml"))
         with open(os.path.join(cfg.trial_dir, "cmd.txt"), "w") as f:
             f.write(" ".join(sys.argv))
+        if args.train:
+            from scaledreamer_tpu.core.callbacks import save_code_snapshot
+            save_code_snapshot(cfg.trial_dir)
 
     trainer = Trainer(system, dm, cfg.trainer, cfg.checkpoint, cfg.trial_dir,
                       seed=seed, profile=getattr(args, "profile", False))

@@ -75,14 +75,14 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         residual = x
-        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm1")(x)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32, name="norm2")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
@@ -128,7 +128,8 @@ class FeedForward(nn.Module):
         # GEGLU
         h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate)
+        # diffusers GEGLU uses exact (erf) gelu, not the tanh approximation
+        h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
@@ -144,7 +145,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, context):
         # self-attention; MVDream 3D mode flattens the view axis into the
         # sequence ((b f) l c -> b (f l) c, mvdream attention.py:343-411)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         if self.num_frames > 1:
             BF, L, C = h.shape
             B = BF // self.num_frames
@@ -156,11 +157,11 @@ class BasicTransformerBlock(nn.Module):
             h = Attention(self.dim, self.heads, self.head_dim,
                           dtype=self.dtype, name="attn1")(h)
         x = x + h
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x + Attention(self.dim, self.heads, self.head_dim,
                           context_dim=self.context_dim, dtype=self.dtype,
                           name="attn2")(h, context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 
@@ -289,7 +290,7 @@ class UNet2DConditionModel(nn.Module):
             if i != n_blocks - 1:
                 h = Upsample(ch, dtype=dtype, name=f"up_{i}_upsample")(h)
 
-        h = nn.GroupNorm(num_groups=32, use_fast_variance=False, dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, use_fast_variance=False, dtype=jnp.float32,
                          name="conv_norm_out")(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=jnp.float32,

@@ -3,10 +3,11 @@
 Parity target: reference `threestudio/models/exporters/mesh_exporter.py:17-175`
 — isosurface -> (xatlas UV unwrap + nvdiffrast texture bake) -> obj+mtl.
 TPU-native replacement (SURVEY.md §2.3 N3/N4): marching tetrahedra
-(models/isosurface.py, native C++ kernel) + per-vertex color sampling.
-Vertex-color export is the default (`save_texture: false` also exists in
-the reference config surface); a UV-atlas bake can be layered on later
-without changing this interface.
+(models/isosurface.py, native C++ kernel) + either per-vertex colors
+(`save_texture: false`, the default) or the full texture pipeline
+(`save_texture: true`): box-projection UV unwrap + pure-XLA UV
+rasterization bake + dilation inpaint -> obj + mtl + albedo image
+(models/mesh.py `box_projection_unwrap` / `bake_texture`).
 """
 
 from __future__ import annotations
@@ -42,6 +43,7 @@ class MeshExporter(BaseObject):
         xatlas_pack_options: dict = None
         context_type: str = "cpu"
         isosurface_resolution: int = 128
+        isosurface_coarse_to_fine: bool = True
 
     cfg: Config
 
@@ -51,22 +53,16 @@ class MeshExporter(BaseObject):
         cfg_geo = geometry.cfg
         radius = cfg_geo.radius
         helper = IsosurfaceHelper(self.cfg.isosurface_resolution)
-        bbox_min = [-radius] * 3
-        bbox_max = [radius] * 3
-        pts = helper.grid_vertices(bbox_min, bbox_max)
 
         geo_params = {"params": state.params["geometry"]}
         chunk = 262144
-        fields = []
         threshold = getattr(cfg_geo, "isosurface_threshold", 0.0)
-
-        thr = threshold if isinstance(threshold, (int, float)) else 0.0
         # SDF fields: level = field - thr; density fields: -(field - thr)
         is_sdf = hasattr(geometry, "forward_sdf") or \
             hasattr(type(geometry), "forward_sdf")
 
         @jax.jit
-        def eval_level(p):
+        def eval_field(p):
             if space_cache is not None:
                 field, _ = geometry.apply(
                     geo_params, p[None], space_cache,
@@ -75,14 +71,39 @@ class MeshExporter(BaseObject):
             else:
                 field, _ = geometry.apply(geo_params, p,
                                           method=geometry.forward_field)
-            return (field - thr) if is_sdf else -(field - thr)
+            return field
 
-        for i in range(0, pts.shape[0], chunk):
-            p = jnp.asarray(pts[i:i + chunk])
-            fields.append(np.asarray(eval_level(p))[..., 0])
-        field = np.concatenate(fields)
+        def extract(bbox_min, bbox_max):
+            pts = helper.grid_vertices(bbox_min, bbox_max)
+            fields = []
+            for i in range(0, pts.shape[0], chunk):
+                p = jnp.asarray(pts[i:i + chunk])
+                fields.append(np.asarray(eval_field(p))[..., 0])
+            field = np.concatenate(fields)
+            if threshold == "auto":
+                # reference geometry/base.py:145-152: mean positive density
+                eps = 1e-5
+                pos = field[field > eps]
+                thr = float(pos.mean()) if pos.size else 0.0
+                logger.info("Automatically determined isosurface "
+                            "threshold: %.5f", thr)
+            else:
+                thr = float(threshold)
+            level = (field - thr) if is_sdf else -(field - thr)
+            return helper.extract(level, bbox_min, bbox_max)
 
-        verts, faces = helper.extract(field, bbox_min, bbox_max)
+        bbox_min = np.asarray([-radius] * 3, np.float32)
+        bbox_max = np.asarray([radius] * 3, np.float32)
+        if self.cfg.isosurface_coarse_to_fine:
+            # coarse pass -> tight bbox (+10% margin) -> fine pass
+            # (reference geometry/base.py:171-186)
+            verts, faces = extract(bbox_min, bbox_max)
+            if verts.shape[0]:
+                vmin, vmax = verts.min(axis=0), verts.max(axis=0)
+                margin = (vmax - vmin) * 0.1
+                bbox_min = np.maximum(vmin - margin, bbox_min)
+                bbox_max = np.minimum(vmax + margin, bbox_max)
+        verts, faces = extract(bbox_min, bbox_max)
         if verts.shape[0] == 0:
             logger.warning("Empty isosurface; nothing exported")
             return []
@@ -92,39 +113,67 @@ class MeshExporter(BaseObject):
                 getattr(cfg_geo, "isosurface_outlier_n_faces_threshold",
                         0.01))
 
-        v_rgb = None
-        if self.cfg.save_vertex_color:
-            @jax.jit
-            def eval_color(p):
-                if space_cache is not None:
-                    out = geometry.apply(geo_params, p[None], space_cache,
-                                         method=geometry.export)
-                else:
-                    out = geometry.apply(geo_params, p,
-                                         method=geometry.export)
-                return out.get("features")
+        @jax.jit
+        def eval_color_points(p):
+            """[N, 3] world points -> [N, 3] albedo."""
+            if space_cache is not None:
+                out = geometry.apply(geo_params, p[None], space_cache,
+                                     method=geometry.export)
+            else:
+                out = geometry.apply(geo_params, p, method=geometry.export)
+            feats = out.get("features")
+            if feats is None:
+                return jnp.zeros((p.shape[0], 3))
+            mat_out = system.material.apply(
+                {"params": state.params.get("material", {})},
+                features=feats.reshape(-1, feats.shape[-1]),
+                method=system.material.export)
+            return mat_out["albedo"]
 
-            feats = []
-            vp = mesh.v_pos
-            pad = (-len(vp)) % chunk if len(vp) > chunk else 0
-            for i in range(0, len(vp), chunk):
-                p = jnp.asarray(vp[i:i + chunk])
-                f = eval_color(p)
-                if f is not None:
-                    feats.append(np.asarray(f).reshape(-1, f.shape[-1]))
-            if feats:
-                mat_out = system.material.apply(
-                    {"params": state.params.get("material", {})},
-                    features=jnp.asarray(np.concatenate(feats)),
-                    method=system.material.export)
-                v_rgb = np.asarray(mat_out["albedo"])[:len(vp)]
+        def color_fn(points_np):
+            outs = []
+            for i in range(0, len(points_np), chunk):
+                outs.append(np.asarray(eval_color_points(
+                    jnp.asarray(points_np[i:i + chunk]))))
+            return (np.concatenate(outs) if outs
+                    else np.zeros((0, 3), np.float32))
 
         out_path = os.path.join(save_dir, f"{self.cfg.save_name}.obj")
+        outputs = [out_path]
+
+        if self.cfg.save_texture:
+            # UV unwrap + texture bake + obj/mtl/image (reference
+            # mesh_exporter.py:43-137 xatlas+nvdiffrast path)
+            from ..mesh import bake_texture, box_projection_unwrap
+            mesh_uv, uv = box_projection_unwrap(mesh)
+            tex = bake_texture(mesh_uv, uv, color_fn,
+                               size=self.cfg.texture_size)
+            fmt = self.cfg.texture_format
+            tex_path = os.path.join(
+                save_dir, f"{self.cfg.save_name}_albedo.{fmt}")
+            os.makedirs(save_dir, exist_ok=True)
+            import imageio.v2 as imageio
+            imageio.imwrite(tex_path, (tex * 255).astype(np.uint8))
+            write_obj(out_path, mesh_uv, v_uv=uv, texture_path=tex_path,
+                      save_normal=self.cfg.save_normal)
+            mtl_path = os.path.splitext(out_path)[0] + ".mtl"
+            outputs += [tex_path, mtl_path]
+            logger.info("Exported textured mesh: %s (+%s, %s)", out_path,
+                        os.path.basename(mtl_path),
+                        os.path.basename(tex_path))
+            return outputs
+
+        v_rgb = None
+        if self.cfg.save_vertex_color:
+            v_rgb = color_fn(mesh.v_pos)
+            if v_rgb.shape[0] != mesh.v_pos.shape[0]:
+                v_rgb = None
+
         write_obj(out_path, mesh, v_rgb=v_rgb,
                   save_normal=self.cfg.save_normal)
         logger.info("Exported mesh: %s (%d verts, %d faces)", out_path,
                     mesh.v_pos.shape[0], mesh.t_pos_idx.shape[0])
-        return [out_path]
+        return outputs
 
 
 @register("dummy-exporter")

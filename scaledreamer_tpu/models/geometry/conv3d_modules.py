@@ -65,7 +65,18 @@ class FullyConnectedLayer(nn.Module):
 
 
 class MappingNetwork(nn.Module):
-    """z (+ text c) -> broadcast w (stylegan_3dconv_modules.py:287-344)."""
+    """z (+ text c) -> broadcast w (stylegan_3dconv_modules.py:287-344).
+
+    w_avg / truncation: the reference registers a `w_avg` buffer but ships
+    its EMA update commented out and `raise NotImplementedError` on any
+    truncation_psi != 1 (stylegan_3dconv_modules.py:318-319,335-341). Here
+    both are completed with proper StyleGAN2 semantics: `w_avg` is a
+    gradient-frozen parameter (stop-gradient in the lerp; the EMA update is
+    applied functionally by the train step — see
+    systems/base.py `_apply_w_avg_ema`), and truncation is the standard
+    lerp w_avg + psi * (w - w_avg) with a traced psi (C()-annealable without
+    retraces).
+    """
     z_dim: int
     c_dim: int
     w_dim: int
@@ -73,19 +84,26 @@ class MappingNetwork(nn.Module):
     num_layers: int = 8
 
     @nn.compact
-    def __call__(self, z, c=None, truncation_psi: float = 1.0):
+    def __call__(self, z, c=None, truncation_psi=1.0,
+                 return_w: bool = False):
         x = normalize_2nd_moment(z)
         lr_mult = 0.01 if self.c_dim == 0 else 1.0
         for i in range(self.num_layers):
             x = FullyConnectedLayer(self.w_dim, activation="lrelu",
                                     lr_multiplier=lr_mult,
                                     name=f"layers_{i}")(x)
-        if self.c_dim > 0:
-            assert c is not None
+        if self.c_dim > 0 and c is not None:
             x = jnp.concatenate([x, c], axis=-1)
             x = FullyConnectedLayer(self.w_dim, name="embed")(x)
-        return jnp.broadcast_to(x[:, None, :], (x.shape[0], self.num_ws,
+        w_avg = self.param("w_avg", nn.initializers.zeros, (self.w_dim,))
+        wa = jax.lax.stop_gradient(w_avg)
+        x_t = wa + truncation_psi * (x - wa)
+        ws = jnp.broadcast_to(x_t[:, None, :], (x.shape[0], self.num_ws,
                                                 self.w_dim))
+        if return_w:
+            # pre-truncation w, for the EMA buffer update (detached)
+            return ws, jax.lax.stop_gradient(x)
+        return ws
 
 
 def modulated_conv3d(x, weight, styles, padding: int = 0,
@@ -281,8 +299,8 @@ class Generator3D(nn.Module):
     bias_resolution: int = 64
 
     @nn.compact
-    def __call__(self, z, c=None, truncation_psi: float = 1.0,
-                 noise_mode: str = "random"):
+    def __call__(self, z, c=None, truncation_psi=1.0,
+                 noise_mode: str = "random", return_w: bool = False):
         synthesis = SynthesisNetwork3D(
             w_dim=self.w_dim, img_resolution=self.img_resolution,
             img_channels=self.img_channels,
@@ -292,5 +310,8 @@ class Generator3D(nn.Module):
             z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
             num_ws=synthesis.num_ws, num_layers=self.num_layers,
             name="mapping")
+        if return_w:
+            ws, w = mapping(z, c, truncation_psi, return_w=True)
+            return synthesis(ws, noise_mode), w
         ws = mapping(z, c, truncation_psi)
         return synthesis(ws, noise_mode)

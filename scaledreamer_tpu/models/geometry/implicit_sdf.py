@@ -152,13 +152,31 @@ class ImplicitSDF(nn.Module):
 
 
 def analytic_shape_sdf(shape: str, params) -> callable:
-    """Closed-form target SDFs for shape_init (implicit_sdf.py:106-126)."""
+    """Target SDFs for shape_init (implicit_sdf.py:106-185): closed-form
+    sphere/ellipsoid plus `mesh:<path>` via exact winding-number sign +
+    point-mesh distance (reference uses libigl; see ops/shape_loss.py)."""
     if shape == "sphere":
         radius = float(params)
         return lambda p: jnp.linalg.norm(p, axis=-1, keepdims=True) - radius
     if shape == "ellipsoid":
         size = jnp.asarray(params, jnp.float32)
         return lambda p: jnp.linalg.norm(p / size, axis=-1, keepdims=True) - 1.0
+    if shape.startswith("mesh:"):
+        from ...ops.shape_loss import (normalize_guide_mesh,
+                                       point_mesh_sq_distance, read_obj,
+                                       winding_number)
+        v, f = read_obj(shape[len("mesh:"):])
+        scale = float(params) if params is not None else 0.7
+        v = normalize_guide_mesh(v, scale)
+
+        def mesh_sdf(p):
+            flat = p.reshape(-1, 3)
+            dist = jnp.sqrt(point_mesh_sq_distance(v, f, flat) + 1e-12)
+            inside = winding_number(v, f, flat) > 0.5
+            sign = jnp.where(inside, -1.0, 1.0)
+            return (sign * dist).reshape(*p.shape[:-1], 1)
+
+        return mesh_sdf
     raise ValueError(f"Unknown shape_init: {shape}")
 
 

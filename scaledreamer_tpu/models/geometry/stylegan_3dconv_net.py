@@ -83,20 +83,28 @@ class Voxel3DSdf(nn.Module):
             return sdf + bias
         raise ValueError(f"Unknown sdf bias {bias}")
 
+    # space_cache is a dict so the pre-truncation mapping output `w` rides
+    # along for the train step's w_avg EMA update (see conv3d_modules
+    # MappingNetwork docstring)
+    accepts_truncation_psi = True
+
     def generate_space_cache(self, styles=None, text_embed=None,
-                             truncation_psi: Optional[float] = None):
-        """mapping + synthesis -> voxel volume [B, D, H, W, C]
-        (reference :226-241; reference layout is [B, C, D, H, W])."""
+                             truncation_psi=None):
+        """mapping + synthesis -> {"voxel": [B, D, H, W, C], "w": [B, W]}
+        (reference :226-241; reference layout is [B, C, D, H, W]).
+        truncation_psi may be a traced scalar (C()-annealed per step)."""
         psi = self.cfg.truncation_psi if truncation_psi is None else truncation_psi
         noise_mode = "random"
-        vol = self.space_generator(styles, text_embed, truncation_psi=psi,
-                                   noise_mode=noise_mode)
-        return get_activation(self.cfg.activation)(vol)
+        vol, w = self.space_generator(styles, text_embed, truncation_psi=psi,
+                                      noise_mode=noise_mode, return_w=True)
+        return {"voxel": get_activation(self.cfg.activation)(vol), "w": w}
 
     def interpolate_encodings(self, points, space_cache):
         """points [B, N, 3] in [-1,1] -> trilinear features [B, N, C]
         (reference get_trilinear_feature, utils.py:99-111)."""
-        return grid_sample_3d(space_cache, points, align_corners=False)
+        vol = space_cache["voxel"] if isinstance(space_cache, dict) \
+            else space_cache
+        return grid_sample_3d(vol, points, align_corners=False)
 
     def forward_sdf(self, points, space_cache):
         orig = points.shape
@@ -162,3 +170,82 @@ class Voxel3DSdf(nn.Module):
     def init_all(self, points, text_embed, styles=None):
         cache = self.generate_space_cache(styles, text_embed)
         return self(points, cache, output_normal=True)
+
+
+def fit_shape_init_3dconv(module: Voxel3DSdf, params, n_steps: int = 1000,
+                          batch_size: int = 4, n_points: int = 10000,
+                          lr: float = 1e-3):
+    """1000-step Adam pre-fit of the generator's SDF to an analytic shape.
+
+    Parity target: reference `initialize_shape`
+    (custom/amortized/models/geometry/stylegan_3dconv_net.py:122-198):
+    per step, sample a batch of random styles z, generate space caches,
+    regress forward_sdf at uniform points onto the sphere/ellipsoid SDF
+    (MSE, Adam lr 1e-3). The reference then broadcast()s params from rank 0;
+    here the fit uses a FIXED PRNG key (independent of the per-process
+    seed), so every process computes bit-identical params and the broadcast
+    is unnecessary by construction.
+
+    `params` is the geometry param subtree; returns the fitted subtree.
+    """
+    import optax
+
+    cfg = module.cfg
+    if cfg.shape_init is None and not cfg.force_shape_init:
+        return params
+    if cfg.sdf_bias != 0.0:
+        import logging
+        logging.getLogger(__name__).warning(
+            "shape_init and sdf_bias are both specified, which may lead to "
+            "unexpected results.")
+
+    radius = float(cfg.radius)
+    if cfg.shape_init == "sphere":
+        r = float(cfg.shape_init_params)
+
+        def gt_sdf(p):
+            return jnp.linalg.norm(p, axis=-1, keepdims=True) - r
+    elif cfg.shape_init == "ellipsoid":
+        size = jnp.asarray(cfg.shape_init_params, jnp.float32)
+
+        def gt_sdf(p):
+            return (jnp.linalg.norm(p / size, axis=-1, keepdims=True)
+                    - 1.0)
+    else:
+        raise ValueError(f"Unknown shape init {cfg.shape_init}")
+
+    z_dim = cfg.space_generator_config.get("z_dim", 64)
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def fit_step(params, opt_state, key):
+        kz, kp, kn = jax.random.split(key, 3)
+        z = jax.random.normal(kz, (batch_size, z_dim))
+        pts = jax.random.uniform(kp, (batch_size, n_points, 3),
+                                 minval=-radius, maxval=radius)
+
+        def loss_fn(p):
+            cache = module.apply({"params": p}, styles=z, text_embed=None,
+                                 method=module.generate_space_cache,
+                                 rngs={"noise": kn})
+            sdf = module.apply({"params": p}, pts, cache,
+                               method=module.forward_sdf)
+            return jnp.mean((sdf - gt_sdf(pts)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # fixed key: identical across processes (replaces the reference's
+    # torch.distributed broadcast, SURVEY.md §2.2 collectives row)
+    rng = jax.random.PRNGKey(0)
+    loss = None
+    for i in range(n_steps):
+        params, opt_state, loss = fit_step(params, opt_state,
+                                           jax.random.fold_in(rng, i))
+    import logging
+    logging.getLogger(__name__).info(
+        "fit_shape_init_3dconv: %d steps, final mse %.5f", n_steps,
+        float(loss))
+    return params

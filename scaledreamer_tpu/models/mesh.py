@@ -111,6 +111,131 @@ def reindex_mesh(v_pos, faces) -> Mesh:
     return Mesh(v_pos[used], remap[faces])
 
 
+def vertex_tangents(mesh: Mesh, uv: np.ndarray) -> np.ndarray:
+    """Per-vertex tangents from UVs (reference mesh.py _compute_vertex_tangent
+    via nvdiffrec's formulation): accumulate per-face tangents weighted by
+    the UV-area denominator, then Gram-Schmidt against the vertex normal."""
+    v, f = mesh.v_pos, mesh.t_pos_idx
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    t0, t1, t2 = uv[f[:, 0]], uv[f[:, 1]], uv[f[:, 2]]
+    e1, e2 = p1 - p0, p2 - p0
+    u1, u2 = t1 - t0, t2 - t0
+    denom = u1[:, 0] * u2[:, 1] - u1[:, 1] * u2[:, 0]
+    denom = np.where(np.abs(denom) < 1e-12,
+                     np.where(denom < 0, -1e-12, 1e-12), denom)
+    tang = (e1 * u2[:, 1:2] - e2 * u1[:, 1:2]) / denom[:, None]
+    acc = np.zeros_like(v)
+    for k in range(3):
+        np.add.at(acc, f[:, k], tang)
+    n = mesh.v_normal
+    acc = acc - n * np.sum(acc * n, axis=-1, keepdims=True)
+    norm = np.linalg.norm(acc, axis=-1, keepdims=True)
+    return acc / np.maximum(norm, 1e-20)
+
+
+def box_projection_unwrap(mesh: Mesh, padding: float = 0.02):
+    """UV-unwrap by box projection: 6 charts (one per dominant normal axis
+    direction), packed into a 3x2 atlas grid.
+
+    TPU-native stand-in for the reference's xatlas unwrap
+    (threestudio/models/mesh.py `unwrap_uv` / exporters/mesh_exporter.py:
+    60-75): xatlas is a C++ dependency not present here, and box projection
+    is the standard fallback — charts are injective per face (a face's UV
+    triangle never degenerates since its normal is dominant along the
+    projection axis). Vertices shared between charts are duplicated so the
+    OBJ vt table stays 1:1 with positions.
+
+    Returns (new_mesh, uv [V', 2] in [0, 1]).
+    """
+    v, faces = mesh.v_pos, mesh.t_pos_idx
+    fn = np.cross(v[faces[:, 1]] - v[faces[:, 0]],
+                  v[faces[:, 2]] - v[faces[:, 0]])
+    axis = np.abs(fn).argmax(axis=-1)                       # [F] in 0..2
+    sign = np.take_along_axis(fn, axis[:, None], 1)[:, 0] >= 0
+    chart = axis * 2 + sign.astype(np.int64)                # [F] in 0..5
+
+    # duplicate vertices per (vertex, chart)
+    key = faces.astype(np.int64) * 6 + chart[:, None]       # [F, 3]
+    uniq, inv = np.unique(key.reshape(-1), return_inverse=True)
+    new_faces = inv.reshape(-1, 3).astype(np.int32)
+    src_vid = (uniq // 6).astype(np.int64)
+    src_chart = (uniq % 6).astype(np.int64)
+    new_v = v[src_vid]
+
+    # project each chart onto the plane orthogonal to its axis
+    drop = src_chart // 2
+    keep = np.stack([(drop + 1) % 3, (drop + 2) % 3], axis=-1)  # [V', 2]
+    uv = np.take_along_axis(new_v, keep, axis=1).astype(np.float64)
+    # mirror one coordinate for negative-facing charts so UVs keep the
+    # face winding (texture not flipped)
+    neg = (src_chart % 2) == 0
+    uv[neg, 0] = -uv[neg, 0]
+
+    # normalize per chart and pack into a 3x2 grid
+    cell_w, cell_h = 1.0 / 3.0, 1.0 / 2.0
+    for c in range(6):
+        m = src_chart == c
+        if not m.any():
+            continue
+        lo = uv[m].min(axis=0)
+        ext = uv[m].max(axis=0) - lo
+        ext = np.maximum(ext, 1e-9)
+        s = (1.0 - 2 * padding) / ext.max()                 # uniform scale
+        local = (uv[m] - lo) * s + padding
+        cx, cy = c % 3, c // 3
+        uv[m] = local * [cell_w, cell_h] + [cx * cell_w, cy * cell_h]
+    return Mesh(new_v, new_faces), uv.astype(np.float32)
+
+
+def bake_texture(mesh: Mesh, uv: np.ndarray, color_fn, size: int = 1024,
+                 fill_iters: int = 8) -> np.ndarray:
+    """Rasterize the UV atlas and sample colors at covered texels.
+
+    Replaces the reference's nvdiffrast UV rasterization + cv2 inpaint
+    (threestudio/models/exporters/mesh_exporter.py:76-137): the texel->3D
+    map comes from the pure-XLA rasterizer run in UV space, colors from
+    `color_fn(positions [N, 3]) -> [N, 3]`, and seam padding from iterative
+    neighbor-mean dilation.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.rasterize import interpolate, rasterize
+
+    V = uv.shape[0]
+    # UV -> clip: u right, v down == image row (y_ndc = 1 - 2v)
+    v_clip = np.stack([uv[:, 0] * 2.0 - 1.0, 1.0 - 2.0 * uv[:, 1],
+                       np.zeros(V, np.float32), np.ones(V, np.float32)],
+                      axis=-1)
+    rast = rasterize(jnp.asarray(v_clip), jnp.asarray(mesh.t_pos_idx),
+                     jnp.ones((mesh.t_pos_idx.shape[0],), bool), size, size)
+    pos = interpolate(jnp.asarray(mesh.v_pos), rast,
+                      jnp.asarray(mesh.t_pos_idx))
+    mask = np.asarray(rast.mask)
+    positions = np.asarray(pos).reshape(-1, 3)
+
+    colors = np.asarray(color_fn(positions[mask.reshape(-1)]))
+    img = np.zeros((size * size, 3), np.float32)
+    img[mask.reshape(-1)] = colors
+    img = img.reshape(size, size, 3)
+
+    # dilation inpaint: fill empty texels from covered neighbors
+    filled = mask.copy()
+    for _ in range(fill_iters):
+        if filled.all():
+            break
+        acc = np.zeros_like(img)
+        cnt = np.zeros((size, size), np.float32)
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            sh = np.roll(img, (dy, dx), axis=(0, 1))
+            shm = np.roll(filled, (dy, dx), axis=(0, 1))
+            acc += sh * shm[..., None]
+            cnt += shm
+        new = ~filled & (cnt > 0)
+        img[new] = acc[new] / cnt[new][..., None]
+        filled |= new
+    return np.clip(img, 0.0, 1.0)
+
+
 def write_obj(path: str, mesh: Mesh,
               v_rgb: Optional[np.ndarray] = None,
               v_uv: Optional[np.ndarray] = None,

@@ -1,2 +1,2 @@
-from . import (generative_space_volsdf, nerf_volume, neus_volume,  # noqa: F401
-               occupancy, patch)
+from . import (generative_space_volsdf, mesh_rasterize,  # noqa: F401
+               nerf_volume, neus_volume, occupancy, patch)

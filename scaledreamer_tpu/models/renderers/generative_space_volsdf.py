@@ -69,15 +69,21 @@ class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
 
     def __call__(self, rays_o, rays_d, light_positions=None, bg_color=None,
                  noise=None, text_embed=None, space_cache=None,
-                 train: bool = True, **kwargs):
+                 train: bool = True, truncation_psi=None, **kwargs):
         cfg = self.cfg
         B, H, W, _ = rays_o.shape
         n_rays_per = H * W
         inv_std = self.variance()
 
         if space_cache is None:
+            cache_kwargs = {}
+            if truncation_psi is not None and getattr(
+                    self.geometry, "accepts_truncation_psi", False):
+                # C()-annealed traced scalar (reference stylegan_3dconv_
+                # net.py:419-421 update_step)
+                cache_kwargs["truncation_psi"] = truncation_psi
             space_cache = self.geometry.generate_space_cache(
-                styles=noise, text_embed=text_embed)
+                styles=noise, text_embed=text_embed, **cache_kwargs)
         B_cache = jax.tree.leaves(space_cache)[0].shape[0]
         if B_cache != B:
             # repeat_interleave so each prompt's cache covers its views

@@ -88,8 +88,8 @@ class MeshRasterizeRenderer(nn.Module):
             maskf = rast.mask[..., None].astype(jnp.float32)   # [H, W, 1]
             pix_pos = interpolate(v_pos, rast, mt.faces)       # [H, W, 3]
             pix_nrm = interpolate(v_nrm, rast, mt.faces)
-            pix_nrm = pix_nrm / jnp.maximum(
-                jnp.linalg.norm(pix_nrm, axis=-1, keepdims=True), 1e-12)
+            pix_nrm = pix_nrm / jnp.sqrt(
+                jnp.sum(pix_nrm * pix_nrm, axis=-1, keepdims=True) + 1e-20)
 
             comp_normal.append((pix_nrm + 1.0) / 2.0 * maskf)
             opacity.append(maskf)

@@ -42,6 +42,23 @@ class HashGridConfig:
     base_resolution: int = 16
     per_level_scale: float = 1.447269237440378
     n_input_dims: int = 3
+    # "Linear" = trilinear over 8 cell corners (tcnn default, reference
+    # parity); "Simplex" = barycentric over the 4 vertices of the Kuhn
+    # tetrahedron containing the point — HALF the table gathers per lookup
+    # (the dominant TPU cost, ~7 ns/row measured), same continuity class
+    # (C0, piecewise-linear instead of -trilinear). TPU-first extension of
+    # tcnn's interpolation option surface.
+    interpolation: str = "Linear"
+    # When False, the custom VJPs return ZERO gradients w.r.t. the query
+    # positions x and skip the table re-gathers + second-derivative terms
+    # that only feed them (~30% of backward gather traffic). Every query
+    # path in this framework provably never differentiates w.r.t. x: ray
+    # sample positions are functions of non-differentiated ray inputs and
+    # stop-gradient t-values (ops/render.py importance_sampling), and
+    # isosurface grid vertices are constants (spatial derivatives for
+    # normals/eikonal come from the FORWARD `with_grad` outputs, not the
+    # VJP). Keep True if x ever carries gradients.
+    compute_x_grad: bool = True
 
     @property
     def table_size(self) -> int:
@@ -65,6 +82,10 @@ def hashgrid_config_from_tcnn(cfg: dict, n_input_dims: int = 3) -> HashGridConfi
         base_resolution=cfg.get("base_resolution", 16),
         per_level_scale=cfg.get("per_level_scale", 1.447269237440378),
         n_input_dims=n_input_dims,
+        interpolation=cfg.get("interpolation", "Linear"),
+        # framework default: geometry/background query positions never carry
+        # gradients (see HashGridConfig.compute_x_grad)
+        compute_x_grad=cfg.get("compute_x_grad", False),
     )
 
 
@@ -156,6 +177,47 @@ def _corner_weights(w):
     ], axis=-1)  # [N, 8]
 
 
+def _offset_index_1d(grid_i, off, res, dense_flag, table_size: int):
+    """Table row index for per-point integer corner offsets [N, 3]."""
+    cx = grid_i[:, 0] + off[:, 0]
+    cy = grid_i[:, 1] + off[:, 1]
+    cz = grid_i[:, 2] + off[:, 2]
+    stride = res + 1
+    dense_idx = (cx * stride + cy) * stride + cz
+    cu = (cx.astype(jnp.uint32), cy.astype(jnp.uint32),
+          cz.astype(jnp.uint32))
+    hash_idx = (cu[0] * np.uint32(_PRIMES[0])
+                ^ cu[1] * np.uint32(_PRIMES[1])
+                ^ cu[2] * np.uint32(_PRIMES[2]))
+    hash_idx = (hash_idx & np.uint32(table_size - 1)).astype(jnp.int32)
+    return jnp.where(dense_flag, dense_idx, hash_idx)
+
+
+def _simplex_parts(w):
+    """Kuhn-simplex decomposition of the unit cell at fractional coords w.
+
+    w [N, 3] -> (offsets: list of 4 [N, 3] int32 corner offsets,
+    lambdas: list of 4 [N] barycentric weights, onehots: list of 3 [N, 3]
+    rank-indicator vectors oh_j with oh_j[n, a] = 1 iff axis a has the j-th
+    largest fractional coordinate). The interpolant is continuous across
+    cell and simplex boundaries (standard simplex/tetrahedral interpolation;
+    4 table rows per lookup instead of trilinear's 8).
+    """
+    order = jnp.argsort(-w, axis=-1)                # [N, 3] desc
+    oh1 = jax.nn.one_hot(order[:, 0], 3, dtype=w.dtype)
+    oh2 = jax.nn.one_hot(order[:, 1], 3, dtype=w.dtype)
+    oh3 = jax.nn.one_hot(order[:, 2], 3, dtype=w.dtype)
+    u1 = jnp.sum(w * oh1, axis=-1)
+    u2 = jnp.sum(w * oh2, axis=-1)
+    u3 = jnp.sum(w * oh3, axis=-1)
+    offs = [jnp.zeros_like(oh1, jnp.int32),
+            oh1.astype(jnp.int32),
+            (oh1 + oh2).astype(jnp.int32),
+            jnp.ones_like(oh1, jnp.int32)]
+    lams = [1.0 - u1, u1 - u2, u2 - u3, u3]
+    return offs, lams, [oh1, oh2, oh3]
+
+
 def _level_lookup(table_l, x, level: int, cfg: HashGridConfig):
     """One level's (idx [N, 8], weights [N, 8], feats-interp [N, F])."""
     res = cfg.level_resolution(level)
@@ -177,6 +239,7 @@ def _encode_impl(table, x, cfg: HashGridConfig, level_mask):
     [N, 8, 3] corner tensor — see tpu-tiling-padding-pitfall). table
     [L, T, F]; x [N, 3] in [0,1] -> [N, L*F]."""
     T = cfg.table_size
+    simplex = cfg.interpolation == "Simplex"
     res_np, dense_np = _level_constants(cfg)
     outs = []
     for level in range(cfg.n_levels):
@@ -186,11 +249,18 @@ def _encode_impl(table, x, cfg: HashGridConfig, level_mask):
         grid_f = jnp.floor(pos)
         w = pos - grid_f
         grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res_l)
-        idx = jnp.stack([
-            _corner_index_1d(grid_i, corner, res_l, dense, T)
-            for corner in _CORNER_OFFSETS], axis=-1)  # [N, 8]
-        cw = _corner_weights(w)                        # [N, 8]
-        feats = jnp.take(table[level], idx, axis=0)    # [N, 8, F]
+        if simplex:
+            offs, lams, _ = _simplex_parts(w)
+            idx = jnp.stack([
+                _offset_index_1d(grid_i, o, res_l, dense, T)
+                for o in offs], axis=-1)               # [N, 4]
+            cw = jnp.stack(lams, axis=-1)              # [N, 4]
+        else:
+            idx = jnp.stack([
+                _corner_index_1d(grid_i, corner, res_l, dense, T)
+                for corner in _CORNER_OFFSETS], axis=-1)  # [N, 8]
+            cw = _corner_weights(w)                        # [N, 8]
+        feats = jnp.take(table[level], idx, axis=0)    # [N, C, F]
         out = jnp.einsum("ncf,nc->nf", feats, cw)
         if level_mask is not None:
             out = out * level_mask[level]
@@ -218,6 +288,8 @@ def _encode_bwd(cfg, res_saved, g):
     tab_flat = table.reshape(cfg.n_levels, T * F)
     g_by_level = g.T.reshape(cfg.n_levels, F, N)  # [L, F, N]
 
+    simplex = cfg.interpolation == "Simplex"
+
     def level_body(_, xs):
         tab_l, g_l, res, dense_flag, m = xs
         pos = x * res.astype(jnp.float32)
@@ -229,26 +301,49 @@ def _encode_bwd(cfg, res_saved, g):
         gx = jnp.zeros((N,), jnp.float32)
         gy = jnp.zeros((N,), jnp.float32)
         gz = jnp.zeros((N,), jnp.float32)
-        for corner in _CORNER_OFFSETS:
-            dx, dy, dz = corner
-            ax = w[:, 0] if dx else 1.0 - w[:, 0]
-            ay = w[:, 1] if dy else 1.0 - w[:, 1]
-            az = w[:, 2] if dz else 1.0 - w[:, 2]
-            cw = ax * ay * az
-            idx = _corner_index_1d(grid_i, corner, res, dense_flag, T)
-            base = idx * F
-            fg = jnp.zeros((N,), jnp.float32)
-            for f in range(F):
-                # table gradient
-                tg = tg + jax.ops.segment_sum(cw * gm[f], base + f,
-                                              num_segments=T * F)
-                feat = jnp.take(tab_l, base + f)
-                fg = fg + feat * gm[f]
-            sx, sy, sz = (1.0 if dx else -1.0, 1.0 if dy else -1.0,
-                          1.0 if dz else -1.0)
-            gx = gx + fg * sx * (ay * az)
-            gy = gy + fg * sy * (ax * az)
-            gz = gz + fg * sz * (ax * ay)
+        if simplex:
+            offs, lams, ohs = _simplex_parts(w)
+            fbar = []  # per-corner sum_f feat*g (for x-grads)
+            for ci in range(4):
+                idx = _offset_index_1d(grid_i, offs[ci], res, dense_flag, T)
+                base = idx * F
+                fb = jnp.zeros((N,), jnp.float32)
+                for f in range(F):
+                    tg = tg + jax.ops.segment_sum(lams[ci] * gm[f], base + f,
+                                                  num_segments=T * F)
+                    if cfg.compute_x_grad:
+                        fb = fb + jnp.take(tab_l, base + f) * gm[f]
+                fbar.append(fb)
+            if cfg.compute_x_grad:
+                # d enc/d w_{p_j} = f_j - f_{j-1} (piecewise linear)
+                for j, oh in enumerate(ohs, start=1):
+                    d = fbar[j] - fbar[j - 1]
+                    gx = gx + oh[:, 0] * d
+                    gy = gy + oh[:, 1] * d
+                    gz = gz + oh[:, 2] * d
+        else:
+            for corner in _CORNER_OFFSETS:
+                dx, dy, dz = corner
+                ax = w[:, 0] if dx else 1.0 - w[:, 0]
+                ay = w[:, 1] if dy else 1.0 - w[:, 1]
+                az = w[:, 2] if dz else 1.0 - w[:, 2]
+                cw = ax * ay * az
+                idx = _corner_index_1d(grid_i, corner, res, dense_flag, T)
+                base = idx * F
+                fg = jnp.zeros((N,), jnp.float32)
+                for f in range(F):
+                    # table gradient
+                    tg = tg + jax.ops.segment_sum(cw * gm[f], base + f,
+                                                  num_segments=T * F)
+                    if cfg.compute_x_grad:
+                        feat = jnp.take(tab_l, base + f)
+                        fg = fg + feat * gm[f]
+                if cfg.compute_x_grad:
+                    sx, sy, sz = (1.0 if dx else -1.0, 1.0 if dy else -1.0,
+                                  1.0 if dz else -1.0)
+                    gx = gx + fg * sx * (ay * az)
+                    gy = gy + fg * sy * (ax * az)
+                    gz = gz + fg * sz * (ax * ay)
         scale = res.astype(jnp.float32)
         return None, (tg, jnp.stack([gx, gy, gz]) * scale)
 
@@ -307,6 +402,7 @@ def _axis_weight_parts(w, corner):
 def _encode_with_grad_impl(table, x, cfg: HashGridConfig, level_mask):
     """-> (enc [N, L*F], denc ([N, L*F],)*3 — d enc / d x per axis)."""
     T = cfg.table_size
+    simplex = cfg.interpolation == "Simplex"
     res_np, dense_np = _level_constants(cfg)
     outs, gx_outs, gy_outs, gz_outs = [], [], [], []
     for level in range(cfg.n_levels):
@@ -316,22 +412,36 @@ def _encode_with_grad_impl(table, x, cfg: HashGridConfig, level_mask):
         grid_f = jnp.floor(pos)
         w = pos - grid_f
         grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res_l)
-        idx = jnp.stack([
-            _corner_index_1d(grid_i, c, res_l, dense, T)
-            for c in _CORNER_OFFSETS], axis=-1)          # [N, 8]
-        feats = jnp.take(table[level], idx, axis=0)       # [N, 8, F]
-        cws, dxs, dys, dzs = [], [], [], []
-        for c in _CORNER_OFFSETS:
-            (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, c)
-            cws.append(ax * ay * az)
-            dxs.append(sx * ay * az)
-            dys.append(sy * ax * az)
-            dzs.append(sz * ax * ay)
-        cw = jnp.stack(cws, axis=-1)   # [N, 8]
-        out = jnp.einsum("ncf,nc->nf", feats, cw)
-        gx = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dxs, -1)) * res_l
-        gy = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dys, -1)) * res_l
-        gz = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dzs, -1)) * res_l
+        if simplex:
+            offs, lams, ohs = _simplex_parts(w)
+            idx = jnp.stack([
+                _offset_index_1d(grid_i, o, res_l, dense, T)
+                for o in offs], axis=-1)                  # [N, 4]
+            feats = jnp.take(table[level], idx, axis=0)   # [N, 4, F]
+            cw = jnp.stack(lams, axis=-1)
+            out = jnp.einsum("ncf,nc->nf", feats, cw)
+            # d enc/d w_{p_j} = f_j - f_{j-1}; map ranks back to axes
+            diffs = [feats[:, j] - feats[:, j - 1] for j in (1, 2, 3)]
+            gx = sum(oh[:, 0:1] * d for oh, d in zip(ohs, diffs)) * res_l
+            gy = sum(oh[:, 1:2] * d for oh, d in zip(ohs, diffs)) * res_l
+            gz = sum(oh[:, 2:3] * d for oh, d in zip(ohs, diffs)) * res_l
+        else:
+            idx = jnp.stack([
+                _corner_index_1d(grid_i, c, res_l, dense, T)
+                for c in _CORNER_OFFSETS], axis=-1)          # [N, 8]
+            feats = jnp.take(table[level], idx, axis=0)       # [N, 8, F]
+            cws, dxs, dys, dzs = [], [], [], []
+            for c in _CORNER_OFFSETS:
+                (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, c)
+                cws.append(ax * ay * az)
+                dxs.append(sx * ay * az)
+                dys.append(sy * ax * az)
+                dzs.append(sz * ax * ay)
+            cw = jnp.stack(cws, axis=-1)   # [N, 8]
+            out = jnp.einsum("ncf,nc->nf", feats, cw)
+            gx = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dxs, -1)) * res_l
+            gy = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dys, -1)) * res_l
+            gz = jnp.einsum("ncf,nc->nf", feats, jnp.stack(dzs, -1)) * res_l
         if level_mask is not None:
             m = level_mask[level]
             out, gx, gy, gz = out * m, gx * m, gy * m, gz * m
@@ -373,6 +483,8 @@ def _ewg_bwd(cfg, res_saved, gs):
     gl_y = per_level(g_gy)
     gl_z = per_level(g_gz)
 
+    simplex = cfg.interpolation == "Simplex"
+
     def level_body(_, xs):
         tab_l, ge, ggx, ggy, ggz, res, dense_flag, m = xs
         resf = res.astype(jnp.float32)
@@ -384,6 +496,38 @@ def _ewg_bwd(cfg, res_saved, gs):
         xg0 = jnp.zeros((N,), jnp.float32)
         xg1 = jnp.zeros((N,), jnp.float32)
         xg2 = jnp.zeros((N,), jnp.float32)
+        if simplex:
+            offs, lams, ohs = _simplex_parts(w)
+            bases = [
+                _offset_index_1d(grid_i, o, res, dense_flag, T) * F
+                for o in offs]
+            hbar = [jnp.zeros((N,), jnp.float32) for _ in range(4)]
+            for f in range(F):
+                ge_f = ge[f] * m
+                # rank-j cotangents on denc (g*_f carry one res factor)
+                gj = [ohs[j][:, 0] * ggx[f] + ohs[j][:, 1] * ggy[f]
+                      + ohs[j][:, 2] * ggz[f] for j in range(3)]
+                gj = [g * m * resf for g in gj]
+                # d enc/d f_cj = lam_j; d denc_{p_k}/d f_cj = +-1
+                coefs = [lams[0] * ge_f - gj[0],
+                         lams[1] * ge_f + gj[0] - gj[1],
+                         lams[2] * ge_f + gj[1] - gj[2],
+                         lams[3] * ge_f + gj[2]]
+                for ci in range(4):
+                    tg = tg + jax.ops.segment_sum(coefs[ci], bases[ci] + f,
+                                                  num_segments=T * F)
+                    if cfg.compute_x_grad:
+                        hbar[ci] = hbar[ci] + jnp.take(
+                            tab_l, bases[ci] + f) * ge_f
+            if cfg.compute_x_grad:
+                # first-order x cotangent through enc (denc is piecewise
+                # constant in x: second derivatives vanish inside a simplex)
+                for j in range(3):
+                    d = (hbar[j + 1] - hbar[j]) * resf
+                    xg0 = xg0 + ohs[j][:, 0] * d
+                    xg1 = xg1 + ohs[j][:, 1] * d
+                    xg2 = xg2 + ohs[j][:, 2] * d
+            return None, (tg, jnp.stack([xg0, xg1, xg2]))
         for corner in _CORNER_OFFSETS:
             (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, corner)
             cw = ax * ay * az
@@ -401,6 +545,8 @@ def _ewg_bwd(cfg, res_saved, gs):
                 coef = cw * ge_f + dwx * gx_f + dwy * gy_f + dwz * gz_f
                 tg = tg + jax.ops.segment_sum(coef, base + f,
                                               num_segments=T * F)
+                if not cfg.compute_x_grad:
+                    continue
                 feat = jnp.take(tab_l, base + f)
                 # x cotangent: d(enc)/dx needs one res (chain w->x); the
                 # cross second-derivative terms d(denc_i)/dx_j need res^2 —
@@ -449,6 +595,58 @@ def hashgrid_encode_with_grad(table, x, cfg: HashGridConfig,
     D = cfg.n_output_dims
     return (enc.reshape(*orig_shape, D),
             jnp.stack([gx, gy, gz]).reshape(3, *orig_shape, D))
+
+
+_PRIMES_ND = (1, 2654435761, 805459861, 3674653429)
+
+
+def hashgrid_encode_nd(table: jnp.ndarray, x: jnp.ndarray,
+                       cfg: HashGridConfig,
+                       level_mask: Optional[jnp.ndarray] = None):
+    """Generic n-D (2-4 input dims) hash-grid encode, plain XLA autodiff.
+
+    Used by the spatial-time (4D) encoding (reference
+    threestudio/models/networks.py:68-126 TCNNEncodingSpatialTime) — an
+    auxiliary component no shipped benchmark exercises, so this favors
+    generality over the hand-tuned 3D custom-VJP path. x in [0,1]^D.
+    """
+    import itertools
+
+    D = cfg.n_input_dims
+    T = cfg.table_size
+    orig_shape = x.shape[:-1]
+    x = x.reshape(-1, D)
+    corners = list(itertools.product((0, 1), repeat=D))
+    outs = []
+    for level in range(cfg.n_levels):
+        res = cfg.level_resolution(level)
+        dense = (res + 1) ** D <= T
+        pos = x * res
+        grid_f = jnp.floor(pos)
+        w = pos - grid_f
+        grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res)
+        acc = 0.0
+        for corner in corners:
+            c = grid_i + jnp.asarray(corner, jnp.int32)
+            if dense:
+                idx = c[:, 0]
+                for d in range(1, D):
+                    idx = idx * (res + 1) + c[:, d]
+            else:
+                cu = c.astype(jnp.uint32)
+                idx = cu[:, 0] * np.uint32(_PRIMES_ND[0])
+                for d in range(1, D):
+                    idx = idx ^ (cu[:, d] * np.uint32(_PRIMES_ND[d]))
+                idx = (idx & np.uint32(T - 1)).astype(jnp.int32)
+            cw = 1.0
+            for d, bit in enumerate(corner):
+                cw = cw * (w[:, d] if bit else 1.0 - w[:, d])
+            acc = acc + jnp.take(table[level], idx, axis=0) * cw[:, None]
+        if level_mask is not None:
+            acc = acc * level_mask[level]
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=-1).reshape(
+        *orig_shape, cfg.n_output_dims)
 
 
 def progressive_level_mask(cfg: HashGridConfig, global_step: float,

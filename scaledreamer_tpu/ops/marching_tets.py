@@ -187,8 +187,10 @@ def marching_tets(sdf: jnp.ndarray, grid_verts: jnp.ndarray,
     faces = jnp.where(flip[:, None],
                       faces[:, jnp.asarray([0, 2, 1])], faces)
     normal = jnp.where(flip[:, None], -normal, normal)
-    area2 = jnp.linalg.norm(normal, axis=-1)
-    unit_n = normal / jnp.maximum(area2, 1e-12)[:, None]
+    # eps inside the sqrt: degenerate (masked) faces have exactly-zero
+    # normals and d|x|/dx at 0 is NaN otherwise
+    area2 = jnp.sqrt(jnp.sum(normal * normal, axis=-1) + 1e-20)
+    unit_n = normal / area2[:, None]
     return MTOutput(v_pos=v_pos, v_valid=v_valid, faces=faces,
                     face_valid=face_valid, face_normal=unit_n,
                     face_area=0.5 * area2)
@@ -210,8 +212,8 @@ def vertex_normals(mt: MTOutput) -> jnp.ndarray:
     ids = mt.faces.reshape(-1)
     rep = jnp.repeat(contrib, 3, axis=0)
     acc = acc.at[ids].add(rep)
-    norm = jnp.linalg.norm(acc, axis=-1, keepdims=True)
-    return acc / jnp.maximum(norm, 1e-12)
+    norm = jnp.sqrt(jnp.sum(acc * acc, axis=-1, keepdims=True) + 1e-20)
+    return acc / norm
 
 
 def normal_consistency_loss(mt: MTOutput) -> jnp.ndarray:
@@ -250,6 +252,7 @@ def laplacian_loss(mt: MTOutput) -> jnp.ndarray:
         deg = deg.at[vb].add(w)
     has = deg > 0
     mean_nbr = nbr / jnp.maximum(deg, 1.0)[:, None]
-    diff = jnp.linalg.norm((mt.v_pos - mean_nbr)
-                           * has.astype(jnp.float32)[:, None], axis=-1)
+    d = (mt.v_pos - mean_nbr) * has.astype(jnp.float32)[:, None]
+    diff = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+    diff = diff * has.astype(jnp.float32)
     return jnp.sum(diff) / jnp.maximum(jnp.sum(has.astype(jnp.float32)), 1.0)

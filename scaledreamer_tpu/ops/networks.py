@@ -124,6 +124,45 @@ class HashGridEncoding(nn.Module):
         return hashgrid_encode(table, x, self.grid, level_mask)
 
 
+class SpatialTimeEncoding(nn.Module):
+    """4D spatial-time hash encoding (reference networks.py:68-126
+    TCNNEncodingSpatialTime): a static 3D hash grid plus a 4D grid over
+    (xyz, t), outputs summed. `static=True` stops gradients to the time
+    table (the reference freezes its params). Evaluate with
+    `frame_time` in [0, 1] (defaults to 0, the reference's static path)."""
+    grid: HashGridConfig
+    static: bool = True
+    param_dtype: Any = jnp.float32
+
+    @property
+    def n_output_dims(self):
+        return self.grid.n_output_dims
+
+    @nn.compact
+    def __call__(self, x, level_mask: Optional[jnp.ndarray] = None,
+                 frame_time: float = 0.0, with_grad: bool = False):
+        if with_grad:
+            raise NotImplementedError(
+                "fused encode+grad is not provided for spatial-time; use "
+                "finite-difference normals with this encoding")
+        from .hashgrid import hashgrid_encode_nd
+        import dataclasses
+        cfg4 = dataclasses.replace(self.grid, n_input_dims=4)
+        table = self.param(
+            "table", lambda key: init_hashgrid(key, self.grid,
+                                               self.param_dtype))
+        table_t = self.param(
+            "table_time",
+            lambda key: init_hashgrid(key, cfg4, self.param_dtype))
+        if self.static:
+            table_t = jax.lax.stop_gradient(table_t)
+        enc = hashgrid_encode(table, x, self.grid, level_mask)
+        t = jnp.full((*x.shape[:-1], 1), frame_time, x.dtype)
+        enc_t = hashgrid_encode_nd(
+            table_t, jnp.concatenate([x, t], axis=-1), cfg4, level_mask)
+        return enc + enc_t
+
+
 class CompositeEncoding(nn.Module):
     """Optionally prepend affine-rescaled raw xyz (networks.py:169-191)."""
     encoding: nn.Module
@@ -168,6 +207,10 @@ def get_encoding(n_input_dims: int, config: dict) -> CompositeEncoding:
         )
     elif otype in ("HashGrid", "ProgressiveBandHashGrid"):
         enc = HashGridEncoding(grid=hashgrid_config_from_tcnn(config, n_input_dims))
+    elif otype == "HashGridSpatialTime":
+        enc = SpatialTimeEncoding(
+            grid=hashgrid_config_from_tcnn(config, n_input_dims),
+            static=config.get("static", True))
     elif otype == "SphericalHarmonics":
         enc = SphericalHarmonicsEncoding(degree=config.get("degree", 3))
     else:

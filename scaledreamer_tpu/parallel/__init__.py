@@ -19,4 +19,5 @@ Prompt-shard data parallelism lives with the data layer
 
 from .mesh import (data_sharding, make_data_mesh, replicated,  # noqa: F401
                    shard_batch)
-from .rays import ray_sharded_render  # noqa: F401
+from .rays import (make_ray_sharded_render,  # noqa: F401
+                   ray_sharded_render)

@@ -95,6 +95,16 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
         params = variables["params"]
         if self.cfg.weights is not None:
             params = self.load_weights(params, self.cfg.weights)
+        if self.cfg.initialize_shape and self.cfg.weights is None:
+            # 3DConv sphere pre-fit (reference multiprompt_radience_field_
+            # generator.py:56-65 -> stylegan_3dconv_net.py:122-198)
+            from ..models.geometry.stylegan_3dconv_net import (
+                Voxel3DSdf, fit_shape_init_3dconv)
+            if isinstance(self.geometry, Voxel3DSdf):
+                n_fit = int(os.environ.get("SDTPU_SHAPE_INIT_STEPS", 1000))
+                params = dict(params)
+                params["geometry"] = fit_shape_init_3dconv(
+                    self.geometry, params["geometry"], n_steps=n_fit)
         from .optimizers import parse_optimizer
         tx = parse_optimizer(self.cfg.optimizer, params)
         accum = int(getattr(self, "grad_accum", 1))

@@ -16,6 +16,7 @@ host-side per step via C() — no retraces across the whole schedule.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, NamedTuple, Optional
 
@@ -53,6 +54,10 @@ class LossConfig:
     lambda_eikonal: Any = 0.0
     lambda_normal_consistency: Any = 0.0
     lambda_laplacian_smoothness: Any = 0.0
+    # geometry-guidance weight for the combined stages; coarse+geometry
+    # hard-codes 0.5 in the reference (scaledreamer.py:124), geometry+texture
+    # reads cfg.loss.lambda_geo (:158)
+    lambda_geo: float = 0.5
 
 
 class BaseLift3DSystem(BaseObject):
@@ -134,11 +139,16 @@ class BaseLift3DSystem(BaseObject):
         rngs = {"params": rng, "sampling": jax.random.fold_in(rng, 1),
                 "aug": jax.random.fold_in(rng, 2),
                 "noise": jax.random.fold_in(rng, 3)}
+        init_extra = {}
+        if getattr(self.renderer, "requires_full_image", False):
+            init_extra["mvp_mtx"] = jnp.asarray(sample_batch["mvp_mtx"])
+            init_extra["camera_positions"] = jnp.asarray(
+                sample_batch["camera_positions"])
         variables = self.renderer.init(
             rngs, jnp.asarray(sample_batch["rays_o"]),
             jnp.asarray(sample_batch["rays_d"]),
             light_positions=jnp.asarray(sample_batch["light_positions"]),
-            train=True)
+            train=True, **init_extra)
         params = variables["params"]
         if self.cfg.weights is not None:
             params = self.load_weights(params, self.cfg.weights)
@@ -165,10 +175,27 @@ class BaseLift3DSystem(BaseObject):
 
     def load_weights(self, params, path: str):
         """Weights-only init (reference systems/base.py:52-62), honoring
-        `weights_ignore_modules` (top-level subtrees kept at fresh init)."""
+        `weights_ignore_modules` (top-level subtrees kept at fresh init)
+        and the `path:module_name` surgery syntax (reference
+        utils/base.py:103-112 + misc.py load_module_weights): only the
+        named top-level module is loaded, everything else stays fresh."""
         import flax.serialization as ser
+        module_name = None
+        if ":" in path and not os.path.exists(path):
+            path, module_name = path.rsplit(":", 1)
         with open(path, "rb") as f:
-            loaded = ser.from_bytes({"params": params}, f.read())["params"]
+            raw = f.read()
+        if module_name is not None:
+            loaded_all = ser.msgpack_restore(raw).get("params", {})
+            if module_name not in loaded_all:
+                raise KeyError(
+                    f"weights module '{module_name}' not in checkpoint "
+                    f"(has {sorted(loaded_all)})")
+            out = dict(params)
+            out[module_name] = jax.tree.map(
+                jnp.asarray, loaded_all[module_name])
+            return out
+        loaded = ser.from_bytes({"params": params}, raw)["params"]
         ignore = set(self.cfg.weights_ignore_modules or [])
         if ignore:
             loaded = dict(loaded)
@@ -209,7 +236,9 @@ class BaseLift3DSystem(BaseObject):
         np scalars -> traced jit inputs)."""
         out = {}
         for name in ("lambda_asd", "lambda_orient", "lambda_sparsity",
-                     "lambda_opaque", "lambda_z_variance", "lambda_eikonal"):
+                     "lambda_opaque", "lambda_z_variance", "lambda_eikonal",
+                     "lambda_normal_consistency",
+                     "lambda_laplacian_smoothness"):
             out[name] = np.float32(
                 C(getattr(self.loss_cfg, name), epoch, global_step))
         for k, v in self.guidance.schedule_scalars(epoch, global_step).items():
@@ -220,6 +249,12 @@ class BaseLift3DSystem(BaseObject):
                 min(1.0, global_step / rcfg.cos_anneal_end_steps))
         else:
             out["cos_anneal_ratio"] = np.float32(1.0)
+        gcfg = self.geometry.cfg
+        if getattr(self.geometry, "accepts_truncation_psi", False):
+            # C()-annealed StyleGAN truncation (reference
+            # stylegan_3dconv_net.py:419-421 update_step)
+            out["truncation_psi"] = np.float32(
+                C(gcfg.truncation_psi, epoch, global_step))
         return out
 
     # ------------------------------------------------------------------
@@ -249,6 +284,20 @@ class BaseLift3DSystem(BaseObject):
                 l = losses.eikonal_loss(out["sdf_grad"])
                 metrics["loss_eikonal"] = l
                 loss = loss + l * scalars["lambda_eikonal"]
+        if self.cfg.stage in ("geometry", "geometry+texture"):
+            # mesh-stage regularizers (reference scaledreamer.py:133-146);
+            # computed in-graph by the mesh renderer (fixed-shape masked
+            # topology) and surfaced as scalars
+            if "loss_normal_consistency" in out:
+                l = out["loss_normal_consistency"]
+                metrics["loss_normal_consistency"] = l
+                loss = loss + l * scalars["lambda_normal_consistency"]
+            if "loss_laplacian_smoothness" in out and \
+                    not _sched_is_zero(
+                        self.loss_cfg.lambda_laplacian_smoothness):
+                l = out["loss_laplacian_smoothness"]
+                metrics["loss_laplacian_smoothness"] = l
+                loss = loss + l * scalars["lambda_laplacian_smoothness"]
         return loss
 
     # ------------------------------------------------------------------
@@ -284,6 +333,15 @@ class BaseLift3DSystem(BaseObject):
             k_render, k_aug, k_guidance, k_noise = jax.random.split(rng, 4)
             prompt_utils = self.build_prompt_utils(batch)
 
+            extra_kwargs = dict(self.render_kwargs(batch))
+            if "truncation_psi" in scalars:
+                extra_kwargs["truncation_psi"] = scalars["truncation_psi"]
+            if getattr(renderer, "requires_full_image", False):
+                # mesh rasterization projects with the camera matrices
+                extra_kwargs["mvp_mtx"] = batch["mvp_mtx"]
+                extra_kwargs["camera_positions"] = batch.get(
+                    "camera_positions")
+
             def render_fn(params):
                 return renderer.apply(
                     {"params": params},
@@ -293,7 +351,7 @@ class BaseLift3DSystem(BaseObject):
                     cos_anneal_ratio=scalars.get("cos_anneal_ratio", 1.0),
                     rngs={"sampling": k_render, "aug": k_aug,
                           "noise": k_noise},
-                    **self.render_kwargs(batch))
+                    **extra_kwargs)
 
             if remat_renderer:
                 # recompute rendering in the backward pass instead of saving
@@ -301,10 +359,11 @@ class BaseLift3DSystem(BaseObject):
                 # dominate HBM otherwise; trades ~1 extra renderer fwd)
                 render_fn = jax.checkpoint(render_fn)
 
-            def loss_fn(params):
-                out = render_fn(params)
-                g_out = guidance_call(
-                    guidance_params, k_guidance, out["comp_rgb"],
+            stage = self.cfg.stage
+
+            def call_guidance(rng_g, guidance_inp):
+                return guidance_call(
+                    guidance_params, rng_g, guidance_inp,
                     prompt_utils,
                     elevation=batch["elevation"], azimuth=batch["azimuth"],
                     camera_distances=batch["camera_distances"],
@@ -312,12 +371,36 @@ class BaseLift3DSystem(BaseObject):
                     max_step_percent=scalars["max_step_percent"],
                     grad_clip_val=scalars.get("grad_clip_val"),
                     c2w=batch.get("c2w"), fovy=batch.get("fovy"))
+
+            def loss_fn(params):
+                out = render_fn(params)
+                # stage-dependent guidance input (reference
+                # scaledreamer.py:50-60): geometry distills on the normal
+                # image, every other stage on comp_rgb
+                guidance_inp = (out["comp_normal"] if stage == "geometry"
+                                else out["comp_rgb"])
+                g_out = call_guidance(k_guidance, guidance_inp)
                 metrics = {"loss_asd": g_out["loss_asd"],
                            "grad_norm": g_out["grad_norm"]}
                 loss = g_out["loss_asd"] * scalars["lambda_asd"]
+                if stage in ("coarse+geometry", "geometry+texture"):
+                    # second guidance pass on the normal image (reference
+                    # scaledreamer.py:116-128,147-160)
+                    lambda_geo = (0.5 if stage == "coarse+geometry"
+                                  else self.loss_cfg.lambda_geo)
+                    g2 = call_guidance(
+                        jax.random.fold_in(k_guidance, 1),
+                        jnp.nan_to_num(out["comp_normal"]))
+                    metrics["shape_loss_asd"] = g2["loss_asd"]
+                    loss = loss + (lambda_geo * scalars["lambda_asd"]
+                                   * g2["loss_asd"])
                 loss = loss + self.compute_regularization_losses(
                     out, scalars, metrics)
                 metrics["loss"] = loss
+                sc = out.get("space_cache")
+                if isinstance(sc, dict) and "w" in sc:
+                    # mapping-output mean for the w_avg EMA (detached)
+                    metrics["_w_mean"] = jnp.mean(sc["w"], axis=0)
                 return loss, metrics
 
             (loss, metrics), grads = jax.value_and_grad(
@@ -325,6 +408,9 @@ class BaseLift3DSystem(BaseObject):
             updates, new_opt_state = tx.update(grads, state.opt_state,
                                                state.params)
             new_params = optax.apply_updates(state.params, updates)
+            w_mean = metrics.pop("_w_mean", None)
+            if w_mean is not None:
+                new_params = _apply_w_avg_ema(new_params, w_mean)
             new_state = TrainState(new_params, new_opt_state, state.occ_grid,
                                    state.step + 1)
             return new_state, metrics
@@ -363,9 +449,65 @@ class BaseLift3DSystem(BaseObject):
         return jax.jit(occ_update, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def make_eval_render(self, chunk_rays: int = 65536):
-        """Chunked full-image eval renderer (reference eval_chunk_size)."""
+    def make_eval_render(self, chunk_rays: int = 65536, mesh=None):
+        """Chunked full-image eval renderer (reference eval_chunk_size).
+
+        With a Mesh, big eval images are shard_map'd over the RAY axis
+        (SURVEY.md §5 long-context analog: rays are independent; params
+        replicate; each device renders its contiguous ray block with no
+        collectives) instead of sequential host chunking."""
         renderer = self.renderer
+
+        if mesh is not None and not getattr(renderer, "requires_full_image",
+                                            False):
+            from ..parallel import make_ray_sharded_render
+
+            def chunk_fn(params, ro, rd, extra):
+                n = ro.shape[0]
+                out = renderer.apply(
+                    {"params": params}, ro.reshape(1, n, 1, 3),
+                    rd.reshape(1, n, 1, 3),
+                    light_positions=extra["light_positions"], train=False)
+                return {k: out[k].reshape(n, -1)
+                        for k in ("comp_rgb", "opacity", "depth",
+                                  "comp_normal") if k in out}
+
+            sharded = make_ray_sharded_render(mesh, chunk_fn)
+
+            def render_sharded(params, batch):
+                B, H, W, _ = batch["rays_o"].shape
+                assert B == 1, "eval renders one camera at a time"
+                ro = jnp.asarray(batch["rays_o"]).reshape(-1, 3)
+                rd = jnp.asarray(batch["rays_d"]).reshape(-1, 3)
+                extra = {"light_positions": jnp.asarray(
+                    batch["light_positions"])}
+                out = sharded(params, ro, rd, extra)
+                return {k: np.asarray(v).reshape(H, W, -1)
+                        for k, v in out.items()}
+
+            return render_sharded
+
+        if getattr(renderer, "requires_full_image", False):
+            # mesh rasterization consumes whole cameras, not ray chunks
+            @jax.jit
+            def render_full(params, rays_o, rays_d, light, mvp, campos):
+                return renderer.apply(
+                    {"params": params}, rays_o, rays_d,
+                    light_positions=light, train=False,
+                    mvp_mtx=mvp, camera_positions=campos)
+
+            def render_mesh(params, batch):
+                out = render_full(
+                    params, jnp.asarray(batch["rays_o"]),
+                    jnp.asarray(batch["rays_d"]),
+                    jnp.asarray(batch["light_positions"]),
+                    jnp.asarray(batch["mvp_mtx"]),
+                    jnp.asarray(batch["camera_positions"]))
+                return {k: np.asarray(out[k])[0]
+                        for k in ("comp_rgb", "opacity", "depth",
+                                  "comp_normal") if k in out}
+
+            return render_mesh
 
         @jax.jit
         def render_chunk(params, rays_o, rays_d, light_positions):
@@ -406,6 +548,21 @@ class BaseLift3DSystem(BaseObject):
             return merged
 
         return render
+
+
+def _apply_w_avg_ema(params, w_mean, beta: float = 0.995):
+    """Functional StyleGAN w_avg EMA: w_avg <- beta*w_avg + (1-beta)*mean(w).
+
+    The reference registers the buffer with w_avg_beta=0.995 but ships the
+    in-place update commented out (stylegan_3dconv_modules.py:318-319);
+    completed here. The buffer is a gradient-frozen param
+    (.../mapping/w_avg) updated after the optimizer step."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+    flat = flatten_dict(params)
+    for k in flat:
+        if k[-1] == "w_avg":
+            flat[k] = beta * flat[k] + (1.0 - beta) * w_mean
+    return unflatten_dict(flat)
 
 
 def _sched_is_zero(spec) -> bool:

@@ -47,6 +47,9 @@ def z_variance_loss(z_variance, opacity):
 
 
 def eikonal_loss(sdf_grad):
-    """mean((|grad sdf| - 1)^2) (scaledreamer.py:104-112)."""
-    norm = jnp.linalg.norm(sdf_grad, axis=-1)
+    """mean((|grad sdf| - 1)^2) (scaledreamer.py:104-112).
+
+    eps inside the sqrt: d|x|/dx at exactly 0 is NaN, and one NaN gradient
+    leaf poisons the whole param tree after the optimizer step."""
+    norm = jnp.sqrt(jnp.sum(sdf_grad * sdf_grad, axis=-1) + 1e-12)
     return jnp.mean((norm - 1.0) ** 2)

@@ -81,6 +81,15 @@ class Trainer:
         self._csv_path = os.path.join(trial_dir, "metrics.csv")
         self._csv_keys = None
         self.profile = profile
+        # gradio-style progress file + optional wandb (reference
+        # callbacks.py ProgressCallback / launch.py wandb logger)
+        from .core.callbacks import ProgressWriter, maybe_wandb
+        self._progress = ProgressWriter(
+            os.path.join(trial_dir, "progress")
+            if jax.process_index() == 0 else None)
+        self._wandb = maybe_wandb(
+            getattr(system.cfg, "loggers", None), trial_dir) \
+            if jax.process_index() == 0 else None
         # TensorBoard event files alongside CSV (reference launch.py:216-231
         # TensorBoardLogger + CSVLogger); rank 0 only
         self._tb = None
@@ -217,6 +226,10 @@ class Trainer:
             for k, v in vals.items():
                 if k != "step":
                     self._tb.add_scalar(f"train/{k}", v, step)
+        if self._wandb is not None:
+            self._wandb.log({f"train/{k}": v for k, v in vals.items()
+                             if k != "step"}, step=step)
+        self._progress.on_train_step(step, self.cfg.max_steps)
         if self.cfg.enable_progress_bar:
             msg = " ".join(f"{k}={v:.4g}" for k, v in vals.items()
                            if k in ("loss", "loss_asd", "iters_per_sec"))
@@ -225,15 +238,24 @@ class Trainer:
     def _eval_render(self):
         """Cached eval render closure: building a fresh one per validate()
         call would discard the jit cache (first compiles are minutes on this
-        environment)."""
+        environment). Multi-device: shard the ray axis over the data mesh."""
         if getattr(self, "_eval_render_fn", None) is None:
-            self._eval_render_fn = self.system.make_eval_render()
+            mesh = None
+            if jax.local_device_count() > 1:
+                from .parallel import make_data_mesh
+                mesh = make_data_mesh()
+            try:
+                self._eval_render_fn = self.system.make_eval_render(
+                    mesh=mesh)
+            except TypeError:  # systems overriding without the mesh kwarg
+                self._eval_render_fn = self.system.make_eval_render()
         return self._eval_render_fn
 
     # ------------------------------------------------------------------
     def validate(self, state=None, tag: Optional[str] = None):
         state = state if state is not None else self.state
         self.dm.setup("validate")
+        self._progress.on_validation_start()
         render = self._eval_render()
         ds = self.dm.val_dataset
         tag = tag or f"it{self.global_step}-val"
@@ -254,6 +276,7 @@ class Trainer:
     def test(self, state=None, tag: Optional[str] = None):
         state = state if state is not None else self.state
         self.dm.setup("test")
+        self._progress.on_test_start()
         render = self._eval_render()
         ds = self.dm.test_dataset
         tag = tag or f"it{self.global_step}-test"

@@ -1,0 +1,162 @@
+"""Measure it/s for every BASELINE.md workload row on the local chip.
+
+Runs each reference benchmark workload (configs/*-prompt_benchmark/*.yaml)
+for a few honest steps (per-step scalar readback; the axon relay's
+block_until_ready returns early) and prints one JSON line per row.
+
+Usage: python scripts/bench_workloads.py [row ...]
+Rows: sd_nerf mv_nerf hyper_ingp conv3d triplane (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SDTPU_BENCH", "1")
+os.environ.setdefault("SDTPU_REMAT_RENDERER", "0")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OFFLINE = [
+    "system.guidance.pretrained_model_name_or_path=__offline__",
+    "use_timestamp=false", "exp_root_dir=outputs/_bench",
+    "trainer.max_steps=1",
+]
+
+WORKLOADS = {
+    # single-prompt ASD-SD NeRF (64² stage; 512 samples/ray occgrid)
+    "sd_nerf": dict(
+        config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
+        overrides=OFFLINE + [
+            "tag=bench_sd_nerf",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            'system.prompt_processor.prompt="a benchmark object"',
+        ]),
+    # single-prompt ASD-MVDream NeRF (B=4 views, 256 samples/ray)
+    "mv_nerf": dict(
+        config="configs/single-prompt_benchmark/asd_mv_nerf.yaml",
+        overrides=OFFLINE + [
+            "tag=bench_mv_nerf",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            'system.prompt_processor.prompt="a benchmark object"',
+        ]),
+    # Hyper-iNGP + SD amortized (the north-star row; same as bench.py)
+    "hyper_ingp": dict(
+        config="configs/multi-prompt_benchmark/asd_sd_hyper_iNGP_50k.yaml",
+        overrides=OFFLINE + [
+            "tag=bench_hyper_ingp",
+            "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "2048"),
+            "system.geometry.normal_type=analytic",
+        ]),
+    # 3DConv-net + SD amortized
+    "conv3d": dict(
+        config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml",
+        overrides=OFFLINE + [
+            "tag=bench_conv3d",
+            "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "2048"),
+        ]),
+    # Triplane-Transformer + MVDream amortized
+    "triplane": dict(
+        config="configs/multi-prompt_benchmark/"
+               "asd_mv_triplane_transformer_10k.yaml",
+        overrides=OFFLINE + [
+            "tag=bench_triplane",
+            "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "2048"),
+        ]),
+}
+
+
+def bench_one(name: str, n_steps: int, n_warmup: int):
+    import contextlib
+
+    import jax
+    import numpy as np
+
+    cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/sdtpu_xla"))
+    with contextlib.suppress(Exception):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import scaledreamer_tpu as sd
+    from scaledreamer_tpu.core.config import load_config, parse_structured
+
+    sd.ensure_builtins()
+    spec = WORKLOADS[name]
+    cfg = load_config(spec["config"], cli_args=spec["overrides"],
+                      n_gpus=jax.device_count())
+    dm_cls = sd.find(cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, cfg.data), seed=0)
+    system_cls = sd.find(cfg.system_type)
+    system = system_cls(cfg=parse_structured(system_cls.Config, cfg.system))
+
+    rng = jax.random.PRNGKey(0)
+    dm.setup("fit")
+    system.on_fit_start(rng)
+    batch = system.prepare_batch(dm.train_batch())
+    state = system.init_state(jax.random.fold_in(rng, 1), batch)
+    train_step = system.make_train_step()
+    occ_update = system.make_occgrid_update()
+    gp = system.guidance_params
+
+    def run_step(state, i):
+        b = system.prepare_batch(dm.train_batch())
+        jb = {k: v for k, v in b.items()
+              if isinstance(v, (np.ndarray, jax.Array))}
+        scalars = system.schedule_scalars(0, i)
+        if occ_update is not None and state.occ_grid is not None and \
+                i % 16 == 0 and i > 0:
+            state = occ_update(state, jax.random.fold_in(rng, 7000 + i))
+        return train_step(state, gp, jb, scalars, jax.random.fold_in(rng, i))
+
+    for i in range(n_warmup):
+        state, metrics = run_step(state, i)
+    float(np.asarray(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for i in range(n_warmup, n_warmup + n_steps):
+        state, metrics = run_step(state, i)
+        loss = float(np.asarray(metrics["loss"]))
+    elapsed = time.perf_counter() - t0
+
+    B, H, W = batch["rays_o"].shape[:3]
+    return {
+        "workload": name,
+        "config": spec["config"],
+        "iters_per_sec": round(n_steps / elapsed, 4),
+        "batch": [int(B), int(H), int(W)],
+        "steps_timed": n_steps,
+        "loss_final": loss,
+        "device": str(__import__("jax").devices()[0]),
+    }
+
+
+def main():
+    rows = sys.argv[1:] or list(WORKLOADS)
+    n_steps = int(os.environ.get("BENCH_STEPS", 6))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 2))
+    results = []
+    for name in rows:
+        try:
+            r = bench_one(name, n_steps, n_warmup)
+        except Exception as e:  # keep going; report the failure
+            r = {"workload": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -148,78 +148,79 @@ def build_flax_tree(state: dict, convert_key) -> dict:
     return tree
 
 
+def convert_vae_key(k: str):
+    parts = k.split(".")
+    pre = []
+    if parts[0] in ("encoder", "decoder"):
+        side = parts[0]
+        rest = parts[1:]
+        if rest[0] == "conv_in":
+            pre = [side, "conv_in"]
+            rest = rest[1:]
+        elif rest[0] == "conv_norm_out":
+            pre = [side, "conv_norm_out"]
+            rest = rest[1:]
+        elif rest[0] == "conv_out":
+            pre = [side, "conv_out"]
+            rest = rest[1:]
+        elif rest[0] == "down_blocks":
+            i, kind, j = rest[1], rest[2], rest[3]
+            if kind == "downsamplers":
+                pre = [side, f"down_{i}_downsample"]
+                rest = rest[5:]
+            else:
+                pre = [side, f"down_{i}_resnets_{j}"]
+                rest = rest[4:]
+        elif rest[0] == "up_blocks":
+            i, kind, j = rest[1], rest[2], rest[3]
+            if kind == "upsamplers":
+                pre = [side, f"up_{i}_upsample"]
+                rest = rest[5:]
+            else:
+                pre = [side, f"up_{i}_resnets_{j}"]
+                rest = rest[4:]
+        elif rest[0] == "mid_block":
+            kind, j = rest[1], rest[2]
+            if kind == "resnets":
+                pre = [side, f"mid_resnets_{j}"]
+            else:
+                pre = [side, "mid_attention"]
+            rest = rest[3:]
+        else:
+            return None
+        leaf = rest[-1] if rest else parts[-1]
+        mids = rest[:-1]
+        mids = ["to_out_0" if m == "to_out" else m
+                for m in mids if m != "0" or True]
+        # collapse to_out.0
+        clean = []
+        skip_next = False
+        for m in mids:
+            if skip_next:
+                skip_next = False
+                continue
+            if m == "to_out_0":
+                clean.append(m)
+                skip_next = True
+            else:
+                clean.append(m)
+        leaf = {"weight": "kernel", "bias": "bias"}.get(leaf, leaf)
+        return tuple(pre + clean) + (leaf,)
+    if parts[0] == "quant_conv":
+        return ("encoder", "quant_conv",
+                {"weight": "kernel", "bias": "bias"}[parts[-1]])
+    if parts[0] == "post_quant_conv":
+        return ("decoder", "post_quant_conv",
+                {"weight": "kernel", "bias": "bias"}[parts[-1]])
+    return None
+
+
 def main():
     dirpath = sys.argv[1]
     import flax.serialization as ser
 
     unet_state = load_torch_state(dirpath, "unet")
     vae_state = load_torch_state(dirpath, "vae")
-
-    def convert_vae_key(k: str):
-        parts = k.split(".")
-        pre = []
-        if parts[0] in ("encoder", "decoder"):
-            side = parts[0]
-            rest = parts[1:]
-            if rest[0] == "conv_in":
-                pre = [side, "conv_in"]
-                rest = rest[1:]
-            elif rest[0] == "conv_norm_out":
-                pre = [side, "conv_norm_out"]
-                rest = rest[1:]
-            elif rest[0] == "conv_out":
-                pre = [side, "conv_out"]
-                rest = rest[1:]
-            elif rest[0] == "down_blocks":
-                i, kind, j = rest[1], rest[2], rest[3]
-                if kind == "downsamplers":
-                    pre = [side, f"down_{i}_downsample"]
-                    rest = rest[5:]
-                else:
-                    pre = [side, f"down_{i}_resnets_{j}"]
-                    rest = rest[4:]
-            elif rest[0] == "up_blocks":
-                i, kind, j = rest[1], rest[2], rest[3]
-                if kind == "upsamplers":
-                    pre = [side, f"up_{i}_upsample"]
-                    rest = rest[5:]
-                else:
-                    pre = [side, f"up_{i}_resnets_{j}"]
-                    rest = rest[4:]
-            elif rest[0] == "mid_block":
-                kind, j = rest[1], rest[2]
-                if kind == "resnets":
-                    pre = [side, f"mid_resnets_{j}"]
-                else:
-                    pre = [side, "mid_attention"]
-                rest = rest[3:]
-            else:
-                return None
-            leaf = rest[-1] if rest else parts[-1]
-            mids = rest[:-1]
-            mids = ["to_out_0" if m == "to_out" else m
-                    for m in mids if m != "0" or True]
-            # collapse to_out.0
-            clean = []
-            skip_next = False
-            for m in mids:
-                if skip_next:
-                    skip_next = False
-                    continue
-                if m == "to_out_0":
-                    clean.append(m)
-                    skip_next = True
-                else:
-                    clean.append(m)
-            leaf = {"weight": "kernel", "bias": "bias"}.get(leaf, leaf)
-            return tuple(pre + clean) + (leaf,)
-        if parts[0] == "quant_conv":
-            return ("encoder", "quant_conv",
-                    {"weight": "kernel", "bias": "bias"}[parts[-1]])
-        if parts[0] == "post_quant_conv":
-            return ("decoder", "post_quant_conv",
-                    {"weight": "kernel", "bias": "bias"}[parts[-1]])
-        return None
 
     params = {
         "unet": build_flax_tree(unet_state, convert_unet_key),

@@ -101,7 +101,8 @@ def test_conv3d_net_end_to_end(jax_key):
     cache = geo.apply(params, styles=z, text_embed=text,
                       method=geo.generate_space_cache,
                       rngs={"noise": jax.random.PRNGKey(4)})
-    assert cache.shape == (2, 16, 16, 16, 4)
+    assert cache["voxel"].shape == (2, 16, 16, 16, 4)
+    assert cache["w"].shape[0] == 2  # pre-truncation w rides along for EMA
     out = geo.apply(params, pts, cache, output_normal=True)
     assert out["sdf"].shape == (20, 1)
     assert out["normal"].shape == (20, 3)
@@ -110,6 +111,69 @@ def test_conv3d_net_end_to_end(jax_key):
     expected = np.linalg.norm(np.asarray(pts), axis=-1) - 0.5
     assert np.isfinite(sdf).all()
     assert np.corrcoef(sdf.ravel(), expected.ravel())[0, 1] > 0.0
+
+
+def test_mapping_truncation_lerp(jax_key):
+    """Truncation: w_trunc = w_avg + psi*(w - w_avg). The reference stubs
+    this (stylegan_3dconv_modules.py:335-341 raises); completed here."""
+    net = MappingNetwork(z_dim=16, c_dim=0, w_dim=32, num_ws=3, num_layers=2)
+    z = jax.random.normal(jax_key, (2, 16))
+    params = net.init(jax_key, z)
+    # set a nonzero w_avg to see the lerp
+    params = jax.tree.map(lambda x: x, params)
+    params["params"]["w_avg"] = jnp.full((32,), 0.7)
+    w1 = net.apply(params, z, truncation_psi=1.0)
+    w0 = net.apply(params, z, truncation_psi=0.0)
+    wh = net.apply(params, z, truncation_psi=0.5)
+    assert np.allclose(np.asarray(w0), 0.7, atol=1e-6)  # psi=0 -> w_avg
+    assert np.allclose(np.asarray(wh), 0.5 * (np.asarray(w1) + 0.7),
+                       atol=1e-5)
+
+
+def test_w_avg_ema_update_in_train_step_helper():
+    from scaledreamer_tpu.systems.base import _apply_w_avg_ema
+    params = {"geometry": {"space_generator": {"mapping": {
+        "w_avg": jnp.zeros((4,)), "other": jnp.ones((2,))}}}}
+    new = _apply_w_avg_ema(params, jnp.ones((4,)), beta=0.995)
+    got = np.asarray(new["geometry"]["space_generator"]["mapping"]["w_avg"])
+    assert np.allclose(got, 0.005)
+    assert np.allclose(
+        np.asarray(new["geometry"]["space_generator"]["mapping"]["other"]),
+        1.0)
+
+
+def test_fit_shape_init_3dconv_converges():
+    """The 1000-step sphere pre-fit (reference stylegan_3dconv_net.py:
+    122-198), shrunk to 60 steps on a tiny net: SDF MSE to the sphere
+    must drop substantially."""
+    from scaledreamer_tpu.models.geometry.stylegan_3dconv_net import \
+        fit_shape_init_3dconv
+    geo = _tiny_conv3d_geometry()
+    # sphere shape-init without the closed-form bias
+    object.__setattr__(geo.cfg, "sdf_bias", 0.0)
+    object.__setattr__(geo.cfg, "shape_init", "sphere")
+    object.__setattr__(geo.cfg, "shape_init_params", 0.5)
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8))
+    text = jax.random.normal(jax.random.PRNGKey(1), (2, 12))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (2, 256, 3),
+                             minval=-1, maxval=1)
+    variables = geo.init(
+        {"params": jax.random.PRNGKey(3), "noise": jax.random.PRNGKey(4)},
+        pts, text, styles=z, method=geo.init_all)
+    params = variables["params"]
+
+    def mse(p):
+        cache = geo.apply({"params": p}, styles=z, text_embed=None,
+                          method=geo.generate_space_cache)
+        sdf = geo.apply({"params": p}, pts, cache, method=geo.forward_sdf)
+        gt = jnp.linalg.norm(pts, axis=-1, keepdims=True) - 0.5
+        return float(jnp.mean((sdf - gt) ** 2))
+
+    before = mse(params)
+    fitted = fit_shape_init_3dconv(geo, params, n_steps=60, batch_size=2,
+                                   n_points=256, lr=1e-2)
+    after = mse(fitted)
+    assert after < before * 0.5, (before, after)
 
 
 # ------------------------------------------------------------- triplane

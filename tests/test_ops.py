@@ -106,6 +106,93 @@ def test_hashgrid_gradients_flow(jax_key):
     assert jnp.abs(g).sum() > 0
 
 
+def test_hashgrid_compute_x_grad_flag(jax_key):
+    """compute_x_grad=False must leave TABLE gradients bit-identical (both
+    encode and fused encode+grad) and zero the x cotangent; positions never
+    carry gradients in the framework's query paths (see HashGridConfig)."""
+    import dataclasses
+
+    from scaledreamer_tpu.ops.hashgrid import hashgrid_encode_with_grad
+
+    cfg_on = HashGridConfig(n_levels=3, log2_hashmap_size=8,
+                            base_resolution=4, compute_x_grad=True)
+    cfg_off = dataclasses.replace(cfg_on, compute_x_grad=False)
+    table = init_hashgrid(jax_key, cfg_on)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (17, 3))
+
+    for fn in (lambda t, x_, c: jnp.sum(hashgrid_encode(t, x_, c) ** 2),
+               lambda t, x_, c: sum(jnp.sum(o ** 2) for o in
+                                    hashgrid_encode_with_grad(t, x_, c))):
+        gt_on, gx_on = jax.grad(lambda t, x_: fn(t, x_, cfg_on),
+                                argnums=(0, 1))(table, x)
+        gt_off, gx_off = jax.grad(lambda t, x_: fn(t, x_, cfg_off),
+                                  argnums=(0, 1))(table, x)
+        np.testing.assert_array_equal(np.asarray(gt_on), np.asarray(gt_off))
+        assert np.abs(np.asarray(gx_on)).sum() > 0   # real x-grads when on
+        assert np.abs(np.asarray(gx_off)).sum() == 0  # zeroed when off
+
+
+def test_hashgrid_simplex_interpolation():
+    """Simplex (4-corner Kuhn-tet) interpolation: continuous across cell &
+    simplex boundaries, exact at grid vertices, and the custom-VJP grads
+    match autodiff of the straight-line implementation."""
+    import dataclasses
+
+    from scaledreamer_tpu.ops.hashgrid import (_encode_impl,
+                                               hashgrid_encode_with_grad)
+
+    cfg = HashGridConfig(n_levels=2, log2_hashmap_size=10, base_resolution=4,
+                         per_level_scale=1.5, interpolation="Simplex",
+                         compute_x_grad=True)
+    table = init_hashgrid(jax.random.PRNGKey(0), cfg) * 1e4  # O(1) values
+
+    # exact at grid vertices of the dense level 0 (res=4)
+    v = jnp.asarray([[0.25, 0.5, 0.75]])
+    enc = hashgrid_encode(table, v, cfg)
+    res0 = 4
+    stride = res0 + 1
+    gi = np.asarray([1, 2, 3])
+    row = (gi[0] * stride + gi[1]) * stride + gi[2]
+    np.testing.assert_allclose(np.asarray(enc[0, :2]),
+                               np.asarray(table[0, row]), atol=1e-5)
+
+    # continuity: approach a random interior point from both sides
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(0.1, 0.9, (50, 3)).astype(np.float32))
+    eps = 1e-4
+    for d in (jnp.asarray([eps, 0, 0]), jnp.asarray([eps, eps, eps])):
+        e1 = hashgrid_encode(table, p - d, cfg)
+        e2 = hashgrid_encode(table, p + d, cfg)
+        assert float(jnp.abs(e2 - e1).max()) < 0.1  # ~Lipschitz * 2eps * res
+
+    # custom-VJP table gradient == autodiff of the plain implementation
+    x = jnp.asarray(rng.uniform(0.05, 0.95, (31, 3)).astype(np.float32))
+    co = jnp.asarray(rng.standard_normal(
+        (31, cfg.n_output_dims)).astype(np.float32))
+
+    def loss_custom(t):
+        return jnp.sum(hashgrid_encode(t, x, cfg) * co)
+
+    def loss_plain(t):
+        return jnp.sum(_encode_impl(t, x, cfg, None) * co)
+
+    g_c = jax.grad(loss_custom)(table)
+    g_p = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_p),
+                               atol=1e-4, rtol=1e-4)
+
+    # fused encode+grad: denc matches finite differences of enc
+    x1 = jnp.asarray([[0.312, 0.477, 0.651]])
+    enc0, denc = hashgrid_encode_with_grad(table, x1, cfg)
+    h = 1e-4
+    for axis in range(3):
+        dv = jnp.zeros((1, 3)).at[0, axis].set(h)
+        fd = (hashgrid_encode(table, x1 + dv, cfg)
+              - hashgrid_encode(table, x1 - dv, cfg)) / (2 * h)
+        np.testing.assert_allclose(np.asarray(denc[axis, 0]),
+                                   np.asarray(fd[0]), atol=2e-2, rtol=2e-2)
+
+
 def test_progressive_level_mask():
     cfg = HashGridConfig(n_levels=8)
     m = progressive_level_mask(cfg, 0, start_level=4, start_step=0,

@@ -151,6 +151,45 @@ def test_sharded_grads_average_matches_single_device(mesh):
                                rtol=1e-6)
 
 
+def test_system_eval_render_sharded_matches_host_chunked(mesh):
+    """make_eval_render(mesh=...) (ray-axis shard_map, SURVEY §5) must
+    reproduce the host-chunked single-device eval render."""
+    cls = sd.find("scaledreamer-system")
+    system = cls(cfg=parse_structured(cls.Config, {
+        "geometry_type": "implicit-volume",
+        "geometry": {
+            "radius": 1.0, "density_bias": "blob_magic3d",
+            "density_activation": "softplus",
+            "density_blob_scale": 10.0, "density_blob_std": 0.5,
+            "normal_type": "analytic",
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 4,
+                "n_features_per_level": 2, "log2_hashmap_size": 8,
+                "base_resolution": 4, "per_level_scale": 1.5}},
+        "material_type": "no-material",
+        "material": {"color_activation": "sigmoid"},
+        "background_type": "solid-color-background",
+        "renderer_type": "nerf-volume-renderer",
+        "renderer": {"radius": 1.0, "num_samples_per_ray": 8,
+                     "estimator": "importance",
+                     "num_samples_per_ray_importance": 8},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+    }))
+    dm_cls = sd.find("random-camera-datamodule")
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, {
+        "batch_size": 1, "width": 12, "height": 12,
+        "eval_width": 12, "eval_height": 12, "n_val_views": 1}), seed=0)
+    dm.setup("validate")
+    state = system.init_state(jax.random.PRNGKey(0),
+                              next(iter(dm.val_dataset)))
+    batch = next(iter(dm.val_dataset))
+    ref = system.make_eval_render()(state.params, batch)
+    shd = system.make_eval_render(mesh=mesh)(state.params, batch)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(shd[k]), np.asarray(ref[k]),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_ray_sharded_render_matches_unsharded(mesh):
     """shard_map over the ray axis gives bit-comparable results to the
     single-device render (rays are independent)."""
