@@ -74,6 +74,10 @@ def main():
             # variant (half the table gathers; see ops/hashgrid.py)
             "system.geometry.pos_encoding_config.interpolation="
             + os.environ.get("BENCH_INTERP", "Linear"),
+            # BENCH_PACKING=true packs dense levels into one-row-per-lookup
+            # cell tables (ops/hashgrid.py dense_cell_packing)
+            "system.geometry.pos_encoding_config.dense_cell_packing="
+            + os.environ.get("BENCH_PACKING", "false"),
         ],
         n_gpus=jax.device_count())
 

@@ -161,6 +161,10 @@ if __name__ == "__main__":
     group.add_argument("--export", action="store_true")
     parser.add_argument("--gpu", default=None,
                         help="device indices to use (TPU chips)")
+    parser.add_argument("--gradio", action="store_true",
+                        help="gradio mode: progress goes to the trial-dir "
+                             "progress file; stdout redirected to stderr "
+                             "(reference launch.py:286-306)")
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of steps 5-15")
@@ -168,4 +172,10 @@ if __name__ == "__main__":
                         help="enable runtime shape-contract checking "
                              "(reference jaxtyping/typeguard hook analog)")
     args, extras = parser.parse_known_args()
-    main(args, extras)
+    if args.gradio:
+        # frontend reads the trial-dir progress file; keep stdout clean
+        # (reference launch.py:301-306)
+        with contextlib.redirect_stdout(sys.stderr):
+            main(args, extras)
+    else:
+        main(args, extras)

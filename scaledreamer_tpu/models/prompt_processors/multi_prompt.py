@@ -130,20 +130,28 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
                 np.save(gp, g.astype(np.float32))
 
     def load_text_embeddings(self) -> None:
-        """Load the shard's embeddings into host RAM dicts
-        (reference base.py:313-370)."""
+        """Load the shard's embeddings (reference base.py:313-370).
+
+        77-token local embeddings are MEMORY-MAPPED, not loaded: at CP100k
+        scale the shard's locals are tens of GB (SURVEY §7.3-7) and each
+        step touches only the sampled prompts' rows — np.stack at batch
+        time pages in exactly those. Tiny pooled globals load eagerly."""
         self.local_text_embeddings = {}
         self.global_text_embeddings = {}
         self.text_embeddings_vd = {}
+        big = len(self.all_prompts) > 512
+        mmap = "r" if big else None
         for p in self.all_prompts:
             lp, gp = self._cache_paths(p)
-            self.local_text_embeddings[p] = np.load(lp)
+            self.local_text_embeddings[p] = np.load(lp, mmap_mode=mmap)
             self.global_text_embeddings[p] = np.load(gp)
             vd = []
             for d in DIRECTION_NAMES:
                 lpd, _ = self._cache_paths(self.templates[d](p))
-                vd.append(np.load(lpd))
-            self.text_embeddings_vd[p] = np.stack(vd)
+                vd.append(np.load(lpd, mmap_mode=mmap))
+            # keep vd as a list of (possibly mmapped) arrays; stacked lazily
+            self.text_embeddings_vd[p] = (
+                vd if big else np.stack(vd))
 
     # ------------------------------------------------------------------
     def __call__(self, prompt) -> PromptProcessorOutput:
@@ -153,17 +161,21 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
             if p not in self.local_text_embeddings:
                 raise ValueError(f"Prompt [{p}] is not in the prompt library.")
         neg = self.negative_prompt
+
+        def vd_of(p):
+            v = self.text_embeddings_vd[p]
+            return np.stack(v) if isinstance(v, list) else v
+
         local = np.stack([self.local_text_embeddings[p] for p in prompt])
         glob = np.stack([self.global_text_embeddings[p] for p in prompt])
-        vd = np.stack([self.text_embeddings_vd[p] for p in prompt])
+        vd = np.stack([vd_of(p) for p in prompt])
         global_embed = local if self.cfg.use_local_text_embeddings else glob
         return PromptProcessorOutput(
             text_embeddings=jnp.asarray(local),
             uncond_text_embeddings=jnp.asarray(
                 self.local_text_embeddings[neg]),
             text_embeddings_vd=jnp.asarray(vd),
-            uncond_text_embeddings_vd=jnp.asarray(
-                self.text_embeddings_vd[neg]),
+            uncond_text_embeddings_vd=jnp.asarray(vd_of(neg)),
             use_perp_neg=self.cfg.use_perp_neg,
             perp_neg_f_sb=self.cfg.perp_neg_f_sb,
             perp_neg_f_fsb=self.cfg.perp_neg_f_fsb,

@@ -59,6 +59,15 @@ class HashGridConfig:
     # normals/eikonal come from the FORWARD `with_grad` outputs, not the
     # VJP). Keep True if x ever carries gradients.
     compute_x_grad: bool = True
+    # Dense-level cell packing: for levels whose dense grid fits the table,
+    # repack the level into [stride^3, 8F] rows holding ALL 8 corner
+    # features of each cell (built from the canonical table with pure
+    # shifted slices — zero gathers), so every lookup costs ONE gathered
+    # row instead of 8 (gather cost is per ROW, width-independent —
+    # measured). Numerically identical to unpacked for x in [0, 1);
+    # at exactly x = 1.0 packed clamps to the last cell (more correct than
+    # the unpacked path's out-of-region read).
+    dense_cell_packing: bool = False
 
     @property
     def table_size(self) -> int:
@@ -86,6 +95,7 @@ def hashgrid_config_from_tcnn(cfg: dict, n_input_dims: int = 3) -> HashGridConfi
         # framework default: geometry/background query positions never carry
         # gradients (see HashGridConfig.compute_x_grad)
         compute_x_grad=cfg.get("compute_x_grad", False),
+        dense_cell_packing=cfg.get("dense_cell_packing", False),
     )
 
 
@@ -218,6 +228,64 @@ def _simplex_parts(w):
     return offs, lams, [oh1, oh2, oh3]
 
 
+def _cell_offsets_flat(res: int):
+    stride = res + 1
+    return [(dx * stride + dy) * stride + dz
+            for (dx, dy, dz) in _CORNER_OFFSETS]
+
+
+def _pack_dense_level(tab_l, res: int, F: int):
+    """Canonical dense level [T, F] -> cell-packed [stride^3, 8, F].
+
+    packed[cell, k] = tab[cell + flat_offset_k]: 8 shifted SLICES of the
+    dense region — no gathers. Cost: one sweep over the level (<25 MB for
+    the finest packable level), amortized over millions of lookups."""
+    stride = res + 1
+    Tc = stride ** 3
+    offs = _cell_offsets_flat(res)
+    region = jnp.pad(tab_l[:Tc], ((0, offs[-1]), (0, 0)))
+    return jnp.stack(
+        [jax.lax.slice_in_dim(region, o, o + Tc, axis=0) for o in offs],
+        axis=1)  # [Tc, 8, F]
+
+
+def _unpack_dense_grad(packed_grad, res: int, F: int, T: int):
+    """[Tc, 8, F] packed cotangents -> [T, F] canonical table grads
+    (the transpose of _pack_dense_level: shifted slice-adds)."""
+    stride = res + 1
+    Tc = stride ** 3
+    offs = _cell_offsets_flat(res)
+    out = jnp.zeros((T + offs[-1], F), packed_grad.dtype)
+    for k, o in enumerate(offs):
+        out = out.at[o:o + Tc].add(packed_grad[:, k])
+    return out[:T]
+
+
+def _cell_and_w(x, res: int):
+    """Cell base index [N] + fractional coords [N, 3] for cell packing
+    (base clamped to res-1 so every lookup is one in-region row)."""
+    stride = res + 1
+    pos = x * res
+    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+    w = jnp.clip(pos - base.astype(jnp.float32), 0.0, 1.0)
+    cell = (base[:, 0] * stride + base[:, 1]) * stride + base[:, 2]
+    return cell, w
+
+
+def _packed_corner_weights(w, cfg: HashGridConfig):
+    """[N, 8] weights over the packed corner slots for either
+    interpolation (simplex scatters its 4 barycentric weights onto the
+    corresponding corner slots)."""
+    if cfg.interpolation == "Simplex":
+        offs, lams, _ = _simplex_parts(w)
+        cw = 0.0
+        for o, lam in zip(offs, lams):
+            slot = o[:, 0] * 4 + o[:, 1] * 2 + o[:, 2]
+            cw = cw + lam[:, None] * jax.nn.one_hot(slot, 8, dtype=w.dtype)
+        return cw
+    return _corner_weights(w)
+
+
 def _level_lookup(table_l, x, level: int, cfg: HashGridConfig):
     """One level's (idx [N, 8], weights [N, 8], feats-interp [N, F])."""
     res = cfg.level_resolution(level)
@@ -245,6 +313,19 @@ def _encode_impl(table, x, cfg: HashGridConfig, level_mask):
     for level in range(cfg.n_levels):
         res_l = int(res_np[level])
         dense = bool(dense_np[level])
+        if dense and cfg.dense_cell_packing:
+            # ONE gathered row per point: packed [Tc, 8F] built by slicing
+            F = cfg.n_features_per_level
+            packed = _pack_dense_level(table[level], res_l, F)
+            cell, w = _cell_and_w(x, res_l)
+            feats = jnp.take(packed.reshape(-1, 8 * F), cell,
+                             axis=0).reshape(-1, 8, F)
+            cw = _packed_corner_weights(w, cfg)
+            out = jnp.einsum("ncf,nc->nf", feats, cw)
+            if level_mask is not None:
+                out = out * level_mask[level]
+            outs.append(out)
+            continue
         pos = x * res_l
         grid_f = jnp.floor(pos)
         w = pos - grid_f
@@ -347,13 +428,112 @@ def _encode_bwd(cfg, res_saved, g):
         scale = res.astype(jnp.float32)
         return None, (tg, jnp.stack([gx, gy, gz]) * scale)
 
-    _, (tgs, xg) = jax.lax.scan(
-        level_body, None,
-        (tab_flat, g_by_level, jnp.asarray(res_np), jnp.asarray(dense_np),
-         mask_arr))
-    table_grad = tgs.reshape(cfg.n_levels, T, F)
-    x_grad = jnp.sum(xg, axis=0).T  # [L, 3, N] -> [N, 3]
+    packed_levels = ([l for l in range(cfg.n_levels) if dense_np[l]]
+                     if cfg.dense_cell_packing else [])
+    scan_levels = [l for l in range(cfg.n_levels) if l not in packed_levels]
+
+    if scan_levels:
+        sel = np.asarray(scan_levels)
+        _, (tgs, xg) = jax.lax.scan(
+            level_body, None,
+            (tab_flat[sel], g_by_level[sel], jnp.asarray(res_np[sel]),
+             jnp.asarray(dense_np[sel]), mask_arr[jnp.asarray(sel)]))
+        x_grad = jnp.sum(xg, axis=0).T  # [Ls, 3, N] -> [N, 3]
+    else:
+        tgs = jnp.zeros((0, T * F), jnp.float32)
+        x_grad = jnp.zeros((N, 3), jnp.float32)
+
+    level_grads = {l: tgs[i] for i, l in enumerate(scan_levels)}
+    for l in packed_levels:
+        # cell-packed dense level: segment_sum into packed rows by cell id,
+        # then unshift back to the canonical layout (pure slice-adds)
+        res_l = int(res_np[l])
+        Tc = (res_l + 1) ** 3
+        cell, w = _cell_and_w(x, res_l)
+        cw = _packed_corner_weights(w, cfg)                 # [N, 8]
+        m = mask_arr[l]
+        pg = []
+        for k in range(8):
+            pg.append(jnp.stack([
+                jax.ops.segment_sum(cw[:, k] * g_by_level[l, f] * m, cell,
+                                    num_segments=Tc) for f in range(F)],
+                axis=-1))                                    # [Tc, F]
+        packed_grad = jnp.stack(pg, axis=1)                  # [Tc, 8, F]
+        level_grads[l] = _unpack_dense_grad(
+            packed_grad, res_l, F, T).reshape(T * F)
+        if cfg.compute_x_grad:
+            F8 = 8 * F
+            packed = _pack_dense_level(table[l], res_l, F)
+            feats = jnp.take(packed.reshape(-1, F8), cell,
+                             axis=0).reshape(N, 8, F)
+            gl = g_by_level[l] * m                           # [F, N]
+            fbar8 = jnp.einsum("nkf,fn->nk", feats, gl)      # [N, 8]
+            dxw, dyw, dzw = _packed_weight_derivs(w, cfg)    # [N, 8] each
+            scale = float(res_l)
+            x_grad = x_grad + scale * jnp.stack([
+                jnp.sum(fbar8 * dxw, -1), jnp.sum(fbar8 * dyw, -1),
+                jnp.sum(fbar8 * dzw, -1)], axis=-1)
+
+    table_grad = jnp.stack(
+        [level_grads[l] for l in range(cfg.n_levels)]).reshape(
+        cfg.n_levels, T, F)
     return table_grad, x_grad, None
+
+
+def _packed_weight_derivs(w, cfg: HashGridConfig):
+    """d(packed corner weights)/d(w_axis), each [N, 8]."""
+    if cfg.interpolation == "Simplex":
+        offs, _, ohs = _simplex_parts(w)
+        slots = [o[:, 0] * 4 + o[:, 1] * 2 + o[:, 2] for o in offs]
+        onehots = [jax.nn.one_hot(s, 8, dtype=w.dtype) for s in slots]
+        outs = []
+        for axis in range(3):
+            d = 0.0
+            # d lam_j/d w_{p_k}: lam profile (1-u1, u1-u2, u2-u3, u3)
+            for k in range(3):
+                sel = ohs[k][:, axis:axis + 1]  # axis has rank k+1?
+                d = d + sel * (onehots[k + 1] - onehots[k])
+            outs.append(d)
+        return outs
+    wx, wy, wz = w[:, 0:1], w[:, 1:2], w[:, 2:3]
+    ax = jnp.concatenate([-(1 - wy) * (1 - wz), -(1 - wy) * wz,
+                          -wy * (1 - wz), -wy * wz,
+                          (1 - wy) * (1 - wz), (1 - wy) * wz,
+                          wy * (1 - wz), wy * wz], axis=-1)
+    ay = jnp.concatenate([-(1 - wx) * (1 - wz), -(1 - wx) * wz,
+                          (1 - wx) * (1 - wz), (1 - wx) * wz,
+                          -wx * (1 - wz), -wx * wz,
+                          wx * (1 - wz), wx * wz], axis=-1)
+    az = jnp.concatenate([-(1 - wx) * (1 - wy), (1 - wx) * (1 - wy),
+                          -(1 - wx) * wy, (1 - wx) * wy,
+                          -wx * (1 - wy), wx * (1 - wy),
+                          -wx * wy, wx * wy], axis=-1)
+    return ax, ay, az
+
+
+def _packed_weight_second_derivs(w, cfg: HashGridConfig):
+    """Cross second derivatives d^2(corner weight)/(dw_i dw_j), [N, 8]
+    each, pairs (xy, xz, yz). Zero for Simplex (piecewise linear)."""
+    if cfg.interpolation == "Simplex":
+        z = jnp.zeros((w.shape[0], 8), w.dtype)
+        return z, z, z
+    wx, wy, wz = w[:, 0:1], w[:, 1:2], w[:, 2:3]
+
+    def parts(corner):
+        dx, dy, dz = corner
+        sx = 1.0 if dx else -1.0
+        sy = 1.0 if dy else -1.0
+        sz = 1.0 if dz else -1.0
+        ax = wx if dx else 1.0 - wx
+        ay = wy if dy else 1.0 - wy
+        az = wz if dz else 1.0 - wz
+        return (sx * sy * az, sx * sz * ay, sy * sz * ax)
+
+    cols = [parts(c) for c in _CORNER_OFFSETS]
+    dxy = jnp.concatenate([c[0] for c in cols], axis=-1)
+    dxz = jnp.concatenate([c[1] for c in cols], axis=-1)
+    dyz = jnp.concatenate([c[2] for c in cols], axis=-1)
+    return dxy, dxz, dyz
 
 
 from functools import partial as _partial
@@ -408,6 +588,26 @@ def _encode_with_grad_impl(table, x, cfg: HashGridConfig, level_mask):
     for level in range(cfg.n_levels):
         res_l = int(res_np[level])
         dense = bool(dense_np[level])
+        if dense and cfg.dense_cell_packing:
+            F = cfg.n_features_per_level
+            packed = _pack_dense_level(table[level], res_l, F)
+            cell, w = _cell_and_w(x, res_l)
+            feats = jnp.take(packed.reshape(-1, 8 * F), cell,
+                             axis=0).reshape(-1, 8, F)
+            cw = _packed_corner_weights(w, cfg)
+            dxw, dyw, dzw = _packed_weight_derivs(w, cfg)
+            out = jnp.einsum("ncf,nc->nf", feats, cw)
+            gx = jnp.einsum("ncf,nc->nf", feats, dxw) * res_l
+            gy = jnp.einsum("ncf,nc->nf", feats, dyw) * res_l
+            gz = jnp.einsum("ncf,nc->nf", feats, dzw) * res_l
+            if level_mask is not None:
+                m = level_mask[level]
+                out, gx, gy, gz = out * m, gx * m, gy * m, gz * m
+            outs.append(out)
+            gx_outs.append(gx)
+            gy_outs.append(gy)
+            gz_outs.append(gz)
+            continue
         pos = x * res_l
         grid_f = jnp.floor(pos)
         w = pos - grid_f
@@ -562,12 +762,63 @@ def _ewg_bwd(cfg, res_saved, gs):
                                        + sz * sy * ax * gy_f) * resf)
         return None, (tg, jnp.stack([xg0, xg1, xg2]))
 
-    _, (tgs, xg) = jax.lax.scan(
-        level_body, None,
-        (tab_flat, gl_enc, gl_x, gl_y, gl_z, jnp.asarray(res_np),
-         jnp.asarray(dense_np), mask_arr))
-    table_grad = tgs.reshape(cfg.n_levels, T, F)
-    x_grad = jnp.sum(xg, axis=0).T
+    packed_levels = ([l for l in range(cfg.n_levels) if dense_np[l]]
+                     if cfg.dense_cell_packing else [])
+    scan_levels = [l for l in range(cfg.n_levels) if l not in packed_levels]
+
+    if scan_levels:
+        sel = np.asarray(scan_levels)
+        _, (tgs, xg) = jax.lax.scan(
+            level_body, None,
+            (tab_flat[sel], gl_enc[sel], gl_x[sel], gl_y[sel], gl_z[sel],
+             jnp.asarray(res_np[sel]), jnp.asarray(dense_np[sel]),
+             mask_arr[jnp.asarray(sel)]))
+        x_grad = jnp.sum(xg, axis=0).T
+    else:
+        tgs = jnp.zeros((0, T * F), jnp.float32)
+        x_grad = jnp.zeros((N, 3), jnp.float32)
+
+    level_grads = {l: tgs[i] for i, l in enumerate(scan_levels)}
+    for l in packed_levels:
+        res_l = int(res_np[l])
+        resf = float(res_l)
+        Tc = (res_l + 1) ** 3
+        cell, w = _cell_and_w(x, res_l)
+        cw = _packed_corner_weights(w, cfg)                 # [N, 8]
+        dxw, dyw, dzw = _packed_weight_derivs(w, cfg)
+        m = mask_arr[l]
+        pg = []
+        for k in range(8):
+            cols = []
+            for f in range(F):
+                coef = (cw[:, k] * gl_enc[l, f]
+                        + dxw[:, k] * gl_x[l, f] * resf
+                        + dyw[:, k] * gl_y[l, f] * resf
+                        + dzw[:, k] * gl_z[l, f] * resf) * m
+                cols.append(jax.ops.segment_sum(coef, cell,
+                                                num_segments=Tc))
+            pg.append(jnp.stack(cols, axis=-1))              # [Tc, F]
+        packed_grad = jnp.stack(pg, axis=1)                  # [Tc, 8, F]
+        level_grads[l] = _unpack_dense_grad(
+            packed_grad, res_l, F, T).reshape(T * F)
+        if cfg.compute_x_grad:
+            packed = _pack_dense_level(table[l], res_l, F)
+            feats = jnp.take(packed.reshape(-1, 8 * F), cell,
+                             axis=0).reshape(N, 8, F)
+            h_enc = jnp.einsum("nkf,fn->nk", feats, gl_enc[l] * m)
+            h_gx = jnp.einsum("nkf,fn->nk", feats, gl_x[l] * m) * resf
+            h_gy = jnp.einsum("nkf,fn->nk", feats, gl_y[l] * m) * resf
+            h_gz = jnp.einsum("nkf,fn->nk", feats, gl_z[l] * m) * resf
+            dxy, dxz, dyz = _packed_weight_second_derivs(w, cfg)
+            x_grad = x_grad + resf * jnp.stack([
+                jnp.sum(h_enc * dxw + h_gy * dxy + h_gz * dxz, -1),
+                jnp.sum(h_enc * dyw + h_gx * dxy + h_gz * dyz, -1),
+                jnp.sum(h_enc * dzw + h_gx * dxz + h_gy * dyz, -1)],
+                axis=-1)
+
+    table_grad = jnp.stack(
+        [level_grads[l] for l in range(cfg.n_levels)]).reshape(
+        cfg.n_levels, T, F)
     return table_grad, x_grad, None
 
 

@@ -21,16 +21,18 @@ os.environ.setdefault("SDTPU_REMAT_RENDERER", "0")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OFFLINE = [
-    "system.guidance.pretrained_model_name_or_path=__offline__",
     "use_timestamp=false", "exp_root_dir=outputs/_bench",
     "trainer.max_steps=1",
 ]
+# SD guidance takes pretrained_model_name_or_path; MVDream takes ckpt_path
+# (missing path -> random init, same compute as pretrained)
+SD_OFFLINE = ["system.guidance.pretrained_model_name_or_path=__offline__"]
 
 WORKLOADS = {
     # single-prompt ASD-SD NeRF (64² stage; 512 samples/ray occgrid)
     "sd_nerf": dict(
         config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
-        overrides=OFFLINE + [
+        overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_sd_nerf",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             'system.prompt_processor.prompt="a benchmark object"',
@@ -46,7 +48,7 @@ WORKLOADS = {
     # Hyper-iNGP + SD amortized (the north-star row; same as bench.py)
     "hyper_ingp": dict(
         config="configs/multi-prompt_benchmark/asd_sd_hyper_iNGP_50k.yaml",
-        overrides=OFFLINE + [
+        overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_hyper_ingp",
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
@@ -57,7 +59,7 @@ WORKLOADS = {
     # 3DConv-net + SD amortized
     "conv3d": dict(
         config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml",
-        overrides=OFFLINE + [
+        overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_conv3d",
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",

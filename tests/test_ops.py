@@ -193,6 +193,52 @@ def test_hashgrid_simplex_interpolation():
                                    np.asarray(fd[0]), atol=2e-2, rtol=2e-2)
 
 
+def test_hashgrid_dense_cell_packing_matches_unpacked():
+    """dense_cell_packing (1 gathered row/point for dense levels) must be
+    numerically identical to the unpacked path: encode, fused encode+grad,
+    table gradients and x gradients, for both interpolations."""
+    import dataclasses
+
+    from scaledreamer_tpu.ops.hashgrid import hashgrid_encode_with_grad
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0.02, 0.98, (41, 3)).astype(np.float32))
+    for interp in ("Linear", "Simplex"):
+        # res 4, 6, 9: all dense at 2^10 -> packing covers every level
+        cfg0 = HashGridConfig(n_levels=3, log2_hashmap_size=10,
+                              base_resolution=4, per_level_scale=1.5,
+                              interpolation=interp, compute_x_grad=True,
+                              dense_cell_packing=False)
+        cfg1 = dataclasses.replace(cfg0, dense_cell_packing=True)
+        table = init_hashgrid(jax.random.PRNGKey(1), cfg0) * 1e4
+        e0 = hashgrid_encode(table, x, cfg0)
+        e1 = hashgrid_encode(table, x, cfg1)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                                   rtol=1e-5, atol=1e-5, err_msg=interp)
+        (enc0, d0) = hashgrid_encode_with_grad(table, x, cfg0)
+        (enc1, d1) = hashgrid_encode_with_grad(table, x, cfg1)
+        np.testing.assert_allclose(np.asarray(enc1), np.asarray(enc0),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0),
+                                   rtol=1e-4, atol=1e-3)
+
+        co = jnp.asarray(rng.standard_normal(
+            (41, cfg0.n_output_dims)).astype(np.float32))
+
+        def loss(t, x_, c):
+            enc, denc = hashgrid_encode_with_grad(t, x_, c)
+            return jnp.sum(enc * co) + jnp.sum(denc ** 2) * 1e-4
+
+        gt0, gx0 = jax.grad(lambda t, x_: loss(t, x_, cfg0),
+                            argnums=(0, 1))(table, x)
+        gt1, gx1 = jax.grad(lambda t, x_: loss(t, x_, cfg1),
+                            argnums=(0, 1))(table, x)
+        np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt0),
+                                   rtol=1e-4, atol=1e-4, err_msg=interp)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0),
+                                   rtol=1e-3, atol=1e-2, err_msg=interp)
+
+
 def test_progressive_level_mask():
     cfg = HashGridConfig(n_levels=8)
     m = progressive_level_mask(cfg, 0, start_level=4, start_step=0,
