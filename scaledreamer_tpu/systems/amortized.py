@@ -122,9 +122,13 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
         return TrainState(params, opt_state, None, jnp.zeros([], jnp.int32))
 
     # ------------------------------------------------------------------
-    def make_eval_render(self, chunk_rays: int = 65536):
+    def make_eval_render(self, chunk_rays: int = 65536, mesh=None):
         """Chunked eval with space_cache computed once per prompt
-        (reference generative renderer inference branch :132-158)."""
+        (reference generative renderer inference branch :132-158).
+
+        With a Mesh, rays are shard_map'd over the devices and the
+        space_cache/params replicate — the amortized variant of the
+        long-context ray sharding (SURVEY.md §5)."""
         renderer = self.renderer
         geometry = self.geometry
 
@@ -134,6 +138,44 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
                 {"params": params["geometry"]}, styles=noise,
                 text_embed=text_embed,
                 method=geometry.generate_space_cache)
+
+        if mesh is not None:
+            from ..parallel import make_ray_sharded_render
+
+            def chunk_fn(params, ro, rd, extra):
+                n = ro.shape[0]
+                out = renderer.apply(
+                    {"params": params}, ro.reshape(1, n, 1, 3),
+                    rd.reshape(1, n, 1, 3),
+                    light_positions=extra["light_positions"],
+                    noise=extra["noise"], text_embed=extra["text_embed"],
+                    space_cache=extra["space_cache"], train=False)
+                return {k: out[k].reshape(n, -1)
+                        for k in ("comp_rgb", "opacity", "depth",
+                                  "comp_normal") if k in out}
+
+            sharded = make_ray_sharded_render(mesh, chunk_fn)
+
+            def render_sharded(params, batch):
+                B, H, W, _ = batch["rays_o"].shape
+                assert B == 1
+                noise = jnp.asarray(batch["noise"])
+                text_embed = jnp.asarray(batch["text_embed"])
+                cache = compute_cache(params, noise, text_embed)
+                extra = {
+                    "light_positions": jnp.asarray(
+                        batch["light_positions"]),
+                    "noise": noise, "text_embed": text_embed,
+                    "space_cache": cache,
+                }
+                out = sharded(params,
+                              jnp.asarray(batch["rays_o"]).reshape(-1, 3),
+                              jnp.asarray(batch["rays_d"]).reshape(-1, 3),
+                              extra)
+                return {k: np.asarray(v).reshape(H, W, -1)
+                        for k, v in out.items()}
+
+            return render_sharded
 
         @jax.jit
         def render_chunk(params, rays_o, rays_d, light_positions, noise,

@@ -190,6 +190,22 @@ def test_system_eval_render_sharded_matches_host_chunked(mesh):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_amortized_eval_render_sharded_matches_host_chunked(mesh):
+    """Amortized make_eval_render(mesh=...): space_cache replicated, rays
+    sharded — must match the host-chunked render."""
+    system = _tiny_amortized_system()
+    rng = jax.random.PRNGKey(0)
+    system.on_fit_start(rng)
+    batch = _batch(system, 1, H=10, W=10)
+    state = system.init_state(rng, batch)
+    ref = system.make_eval_render()(state.params, batch)
+    shd = system.make_eval_render(mesh=mesh)(state.params, batch)
+    for k in ref:
+        # fp32 fusion/reduction-order noise across shard boundaries
+        np.testing.assert_allclose(np.asarray(shd[k]), np.asarray(ref[k]),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_ray_sharded_render_matches_unsharded(mesh):
     """shard_map over the ray axis gives bit-comparable results to the
     single-device render (rays are independent)."""
