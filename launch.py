@@ -38,6 +38,14 @@ def main(args, extras) -> None:
 
     import jax
 
+    # multi-host bootstrap (SURVEY.md §2.2: jax.distributed.initialize
+    # replaces the reference's NCCL/SLURM process-group env bootstrap,
+    # misc.py:18-26). Coordinator/process env vars are read by JAX itself
+    # (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID or the
+    # TPU pod metadata); opt-in so single-host runs never block on it.
+    if os.environ.get("SDTPU_MULTIHOST"):
+        jax.distributed.initialize()
+
     # persistent XLA compilation cache: repeat runs (eval-only, resumes,
     # milestone re-compiles) skip the multi-minute first compile
     cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",

@@ -171,6 +171,66 @@ def _camera_batch(B=1, H=16, W=16):
     return dm.train_batch()
 
 
+def test_texture_stage_train_step(tmp_path):
+    """stage=texture: mesh render with rgb, guidance on comp_rgb, material
+    MLP trains while geometry stays frozen (reference scaledreamer.py:162,
+    texture-stage param groups)."""
+    cls = sd.find("scaledreamer-system")
+    system = cls(cfg=parse_structured(cls.Config, {
+        "stage": "texture",
+        "geometry_type": "implicit-sdf",
+        "geometry": {
+            "radius": 1.0, "shape_init": "sphere",
+            "shape_init_params": 0.5, "normal_type": "analytic",
+            "n_feature_dims": 8,
+            "pos_encoding_config": {
+                "otype": "HashGrid", "n_levels": 4,
+                "n_features_per_level": 2, "log2_hashmap_size": 8,
+                "base_resolution": 4, "per_level_scale": 1.5}},
+        "material_type": "no-material",
+        "material": {"requires_normal": False, "n_output_dims": 3,
+                     "input_feature_dims": 8,
+                     "color_activation": "sigmoid",
+                     "mlp_network_config": {
+                         "otype": "VanillaMLP", "n_neurons": 16,
+                         "n_hidden_layers": 1,
+                         "output_activation": "none"}},
+        "background_type": "solid-color-background",
+        "renderer_type": "mesh-rasterize-renderer",
+        "renderer": {"radius": 1.0, "isosurface_resolution": 10,
+                     "render_rgb": True, "rasterize_chunk": 512},
+        "guidance_type": "dummy-guidance",
+        "guidance": {"target_color": (0.9, 0.2, 0.1)},
+        "prompt_processor_type": "dummy-prompt-processor",
+        "prompt_processor": {"prompt": "a sphere",
+                             "cache_dir": str(tmp_path / "pp")},
+        "loss": {"lambda_asd": 1.0},
+        # texture stage: only the material is optimized
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-2},
+                      "params": {"material": {"lr": 1e-2}}},
+    }))
+    rng = jax.random.PRNGKey(0)
+    system.on_fit_start(rng)
+    batch = system.prepare_batch(_camera_batch())
+    state = system.init_state(rng, batch)
+    step = system.make_train_step()
+    jb = {k: v for k, v in batch.items()
+          if isinstance(v, (np.ndarray, jax.Array))}
+    old_geo = jax.tree.map(np.asarray, state.params["geometry"])
+    old_mat = jax.tree.map(np.asarray, state.params["material"])
+    new_state, metrics = step(state, system.guidance_params, jb,
+                              system.schedule_scalars(0, 0), rng)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    geo_moved = sum(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).sum()),
+        old_geo, new_state.params["geometry"])))
+    mat_moved = sum(jax.tree_util.tree_leaves(jax.tree.map(
+        lambda a, b: float(np.abs(a - np.asarray(b)).sum()),
+        old_mat, new_state.params["material"])))
+    assert geo_moved == 0.0  # frozen
+    assert mat_moved > 0.0   # trains
+
+
 def test_geometry_stage_train_step(geometry_stage_system):
     system = geometry_stage_system
     rng = jax.random.PRNGKey(0)
