@@ -36,6 +36,25 @@ from .stable_diffusion import (SD21_CTX, SD21_DIM, _pseudo_embedding,
 logger = logging.getLogger(__name__)
 
 
+def _save_embedding_cache(model: str, prompts, local, glob, cache_dir: str):
+    for v, l, g in zip(prompts, local, glob):
+        np.save(os.path.join(cache_dir,
+                             f"{hash_prompt(model, v, 'local')}.npy"),
+                l.astype(np.float32))
+        np.save(os.path.join(cache_dir,
+                             f"{hash_prompt(model, v, 'global')}.npy"),
+                g.astype(np.float32))
+
+
+def _spawn_encode_and_cache(model: str, prompts, cache_dir: str):
+    """Subprocess target (reference spawn_func,
+    custom/.../stable_diffusion_multi_prompt_processor.py:40-92): encode
+    with CLIP and write the md5-keyed cache, then exit — releasing all
+    encoder memory to the OS."""
+    local, glob = encode_with_clip(model, list(prompts))
+    _save_embedding_cache(model, list(prompts), local, glob, cache_dir)
+
+
 @register("stable-diffusion-multi-prompt-processor")
 class StableDiffusionMultiPromptProcessor(BaseObject):
     @dataclass
@@ -121,13 +140,28 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
                         and os.path.exists(gp)):
                     needed.append(v)
         needed = list(dict.fromkeys(needed))
-        if needed:
-            logger.info("Encoding %d prompt variants...", len(needed))
-            local, glob = self._encode(needed)
-            for v, l, g in zip(needed, local, glob):
-                lp, gp = self._cache_paths(v)
-                np.save(lp, l.astype(np.float32))
-                np.save(gp, g.astype(np.float32))
+        if not needed:
+            return
+        logger.info("Encoding %d prompt variants...", len(needed))
+        model = str(self.cfg.pretrained_model_name_or_path)
+        if self.cfg.spawn and os.path.isdir(model):
+            # reference parity (base.py:374-394): run the CLIP text encoder
+            # in a spawned subprocess so its weights/activations are fully
+            # returned to the OS before training allocates
+            import multiprocessing as mp
+            ctx = mp.get_context("spawn")
+            proc = ctx.Process(
+                target=_spawn_encode_and_cache,
+                args=(model, needed, self.cfg.cache_dir))
+            proc.start()
+            proc.join()
+            if proc.exitcode != 0:
+                raise RuntimeError(
+                    f"spawned text-encoder process failed "
+                    f"(exit {proc.exitcode})")
+            return
+        local, glob = self._encode(needed)
+        _save_embedding_cache(model, needed, local, glob, self.cfg.cache_dir)
 
     def load_text_embeddings(self) -> None:
         """Load the shard's embeddings (reference base.py:313-370).

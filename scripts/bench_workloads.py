@@ -44,6 +44,10 @@ WORKLOADS = {
             "tag=bench_mv_nerf",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             'system.prompt_processor.prompt="a benchmark object"',
+            # 4-view batch at 256 samples/ray: chunk rays to bound compile
+            # + runtime memory on the 16 GB chip
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "2048"),
         ]),
     # Hyper-iNGP + SD amortized (the north-star row; same as bench.py)
     "hyper_ingp": dict(
