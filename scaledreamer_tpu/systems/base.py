@@ -79,6 +79,10 @@ class BaseLift3DSystem(BaseObject):
         guidance: dict = field(default_factory=dict)
         prompt_processor_type: str = ""
         prompt_processor: dict = field(default_factory=dict)
+        # export path (reference systems/base.py Config: exporter driven in
+        # predict, mesh_exporter.py)
+        exporter_type: str = "mesh-exporter"
+        exporter: dict = field(default_factory=dict)
         loss: dict = field(default_factory=dict)
         optimizer: dict = field(default_factory=dict)
         scheduler: Optional[dict] = None
