@@ -223,7 +223,14 @@ class BaseLift3DSystem(BaseObject):
         new_geo = flatten_dict(params["geometry"])
         prev_flat = flatten_dict(prev_geo)
         copied = 0
+        inherit_texture = bool(self.cfg.geometry_convert_inherit_texture)
         for k, v in prev_flat.items():
+            if not inherit_texture and any(
+                    "feature" in str(part) for part in k):
+                # reference create_from(copy_net=False): texture/feature
+                # nets start fresh in the new stage unless
+                # geometry_convert_inherit_texture is set
+                continue
             v = jnp.asarray(v)
             if k in new_geo and new_geo[k].shape == v.shape:
                 new_geo[k] = v.astype(new_geo[k].dtype)

@@ -80,3 +80,40 @@ def test_weights_module_surgery_unknown_module(tmp_path):
     system = _tiny_system(weights=f"{ckpt}:nonexistent")
     with pytest.raises(KeyError, match="nonexistent"):
         system.init_state(jax.random.PRNGKey(0), batch)
+
+
+def test_geometry_convert_inherit_texture_flag(tmp_path):
+    """geometry_convert_from skips feature subtrees unless
+    geometry_convert_inherit_texture (reference create_from copy_net)."""
+    batch = _batch()
+    donor = _tiny_system()
+    donor_state = donor.init_state(jax.random.PRNGKey(3), batch)
+    ckpt = os.path.join(tmp_path, "coarse.ckpt")
+    with open(ckpt, "wb") as f:
+        f.write(ser.to_bytes({"params": donor_state.params}))
+
+    def build(inherit):
+        cls = sd.find("scaledreamer-system")
+        cfg = _tiny_system().cfg  # same arch -> all geometry keys match
+        sys2 = cls(cfg=type(cfg)(**{
+            **cfg.__dict__, "geometry_convert_from": ckpt,
+            "geometry_convert_inherit_texture": inherit}))
+        return sys2.init_state(jax.random.PRNGKey(99), batch)
+
+    st_no = build(False)
+    st_yes = build(True)
+    d_feat = np.asarray(jax.tree_util.tree_leaves(
+        donor_state.params["geometry"]["feature_network"])[0])
+    no_feat = np.asarray(jax.tree_util.tree_leaves(
+        st_no.params["geometry"]["feature_network"])[0])
+    yes_feat = np.asarray(jax.tree_util.tree_leaves(
+        st_yes.params["geometry"]["feature_network"])[0])
+    assert not np.array_equal(no_feat, d_feat)   # fresh init
+    assert np.array_equal(yes_feat, d_feat)      # inherited
+    # non-feature geometry (encoding) copied in both cases
+    d_enc = np.asarray(jax.tree_util.tree_leaves(
+        donor_state.params["geometry"]["encoding"])[0])
+    for st in (st_no, st_yes):
+        got = np.asarray(jax.tree_util.tree_leaves(
+            st.params["geometry"]["encoding"])[0])
+        np.testing.assert_array_equal(got, d_enc)
