@@ -378,10 +378,14 @@ def _encode_bwd(cfg, res_saved, g):
         w = pos - grid_f
         grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res)
         gm = [g_l[f] * m for f in range(F)]  # [N] each
-        tg = jnp.zeros((T * F,), jnp.float32)
         gx = jnp.zeros((N,), jnp.float32)
         gy = jnp.zeros((N,), jnp.float32)
         gz = jnp.zeros((N,), jnp.float32)
+        # Batched table gradient: ONE flat-key segment_sum per level over
+        # all (corner, feature) contributions — 1 scatter launch instead of
+        # 8*F (the sorted-scatter launches dominate the backward; trace-
+        # profiled). All operands stay 1-D (no lane padding).
+        keys, vals = [], []
         if simplex:
             offs, lams, ohs = _simplex_parts(w)
             fbar = []  # per-corner sum_f feat*g (for x-grads)
@@ -390,8 +394,8 @@ def _encode_bwd(cfg, res_saved, g):
                 base = idx * F
                 fb = jnp.zeros((N,), jnp.float32)
                 for f in range(F):
-                    tg = tg + jax.ops.segment_sum(lams[ci] * gm[f], base + f,
-                                                  num_segments=T * F)
+                    keys.append(base + f)
+                    vals.append(lams[ci] * gm[f])
                     if cfg.compute_x_grad:
                         fb = fb + jnp.take(tab_l, base + f) * gm[f]
                 fbar.append(fb)
@@ -413,9 +417,8 @@ def _encode_bwd(cfg, res_saved, g):
                 base = idx * F
                 fg = jnp.zeros((N,), jnp.float32)
                 for f in range(F):
-                    # table gradient
-                    tg = tg + jax.ops.segment_sum(cw * gm[f], base + f,
-                                                  num_segments=T * F)
+                    keys.append(base + f)
+                    vals.append(cw * gm[f])
                     if cfg.compute_x_grad:
                         feat = jnp.take(tab_l, base + f)
                         fg = fg + feat * gm[f]
@@ -425,6 +428,9 @@ def _encode_bwd(cfg, res_saved, g):
                     gx = gx + fg * sx * (ay * az)
                     gy = gy + fg * sy * (ax * az)
                     gz = gz + fg * sz * (ax * ay)
+        tg = jax.ops.segment_sum(jnp.concatenate(vals),
+                                 jnp.concatenate(keys),
+                                 num_segments=T * F)
         scale = res.astype(jnp.float32)
         return None, (tg, jnp.stack([gx, gy, gz]) * scale)
 
@@ -452,13 +458,14 @@ def _encode_bwd(cfg, res_saved, g):
         cell, w = _cell_and_w(x, res_l)
         cw = _packed_corner_weights(w, cfg)                 # [N, 8]
         m = mask_arr[l]
-        pg = []
+        keys, vals = [], []
         for k in range(8):
-            pg.append(jnp.stack([
-                jax.ops.segment_sum(cw[:, k] * g_by_level[l, f] * m, cell,
-                                    num_segments=Tc) for f in range(F)],
-                axis=-1))                                    # [Tc, F]
-        packed_grad = jnp.stack(pg, axis=1)                  # [Tc, 8, F]
+            for f in range(F):
+                keys.append(cell * (8 * F) + (k * F + f))
+                vals.append(cw[:, k] * g_by_level[l, f] * m)
+        packed_grad = jax.ops.segment_sum(
+            jnp.concatenate(vals), jnp.concatenate(keys),
+            num_segments=Tc * 8 * F).reshape(Tc, 8, F)
         level_grads[l] = _unpack_dense_grad(
             packed_grad, res_l, F, T).reshape(T * F)
         if cfg.compute_x_grad:
@@ -692,10 +699,12 @@ def _ewg_bwd(cfg, res_saved, gs):
         grid_f = jnp.floor(pos)
         w = pos - grid_f
         grid_i = jnp.clip(grid_f.astype(jnp.int32), 0, res)
-        tg = jnp.zeros((T * F,), jnp.float32)
         xg0 = jnp.zeros((N,), jnp.float32)
         xg1 = jnp.zeros((N,), jnp.float32)
         xg2 = jnp.zeros((N,), jnp.float32)
+        # table grads batched into ONE flat-key segment_sum per level
+        # (launch-count dominated; see _encode_bwd)
+        keys, vals = [], []
         if simplex:
             offs, lams, ohs = _simplex_parts(w)
             bases = [
@@ -714,8 +723,8 @@ def _ewg_bwd(cfg, res_saved, gs):
                          lams[2] * ge_f + gj[1] - gj[2],
                          lams[3] * ge_f + gj[2]]
                 for ci in range(4):
-                    tg = tg + jax.ops.segment_sum(coefs[ci], bases[ci] + f,
-                                                  num_segments=T * F)
+                    keys.append(bases[ci] + f)
+                    vals.append(coefs[ci])
                     if cfg.compute_x_grad:
                         hbar[ci] = hbar[ci] + jnp.take(
                             tab_l, bases[ci] + f) * ge_f
@@ -727,6 +736,9 @@ def _ewg_bwd(cfg, res_saved, gs):
                     xg0 = xg0 + ohs[j][:, 0] * d
                     xg1 = xg1 + ohs[j][:, 1] * d
                     xg2 = xg2 + ohs[j][:, 2] * d
+            tg = jax.ops.segment_sum(jnp.concatenate(vals),
+                                     jnp.concatenate(keys),
+                                     num_segments=T * F)
             return None, (tg, jnp.stack([xg0, xg1, xg2]))
         for corner in _CORNER_OFFSETS:
             (ax, ay, az), (sx, sy, sz) = _axis_weight_parts(w, corner)
@@ -743,8 +755,8 @@ def _ewg_bwd(cfg, res_saved, gs):
                 gz_f = ggz[f] * m * resf
                 # table cotangent: coefficient of feats in each output
                 coef = cw * ge_f + dwx * gx_f + dwy * gy_f + dwz * gz_f
-                tg = tg + jax.ops.segment_sum(coef, base + f,
-                                              num_segments=T * F)
+                keys.append(base + f)
+                vals.append(coef)
                 if not cfg.compute_x_grad:
                     continue
                 feat = jnp.take(tab_l, base + f)
@@ -760,6 +772,9 @@ def _ewg_bwd(cfg, res_saved, gs):
                 xg2 = xg2 + feat * (dwz * ge_f * resf
                                     + (sz * sx * ay * gx_f
                                        + sz * sy * ax * gy_f) * resf)
+        tg = jax.ops.segment_sum(jnp.concatenate(vals),
+                                 jnp.concatenate(keys),
+                                 num_segments=T * F)
         return None, (tg, jnp.stack([xg0, xg1, xg2]))
 
     packed_levels = ([l for l in range(cfg.n_levels) if dense_np[l]]
@@ -787,18 +802,18 @@ def _ewg_bwd(cfg, res_saved, gs):
         cw = _packed_corner_weights(w, cfg)                 # [N, 8]
         dxw, dyw, dzw = _packed_weight_derivs(w, cfg)
         m = mask_arr[l]
-        pg = []
+        keys, vals = [], []
         for k in range(8):
-            cols = []
             for f in range(F):
                 coef = (cw[:, k] * gl_enc[l, f]
                         + dxw[:, k] * gl_x[l, f] * resf
                         + dyw[:, k] * gl_y[l, f] * resf
                         + dzw[:, k] * gl_z[l, f] * resf) * m
-                cols.append(jax.ops.segment_sum(coef, cell,
-                                                num_segments=Tc))
-            pg.append(jnp.stack(cols, axis=-1))              # [Tc, F]
-        packed_grad = jnp.stack(pg, axis=1)                  # [Tc, 8, F]
+                keys.append(cell * (8 * F) + (k * F + f))
+                vals.append(coef)
+        packed_grad = jax.ops.segment_sum(
+            jnp.concatenate(vals), jnp.concatenate(keys),
+            num_segments=Tc * 8 * F).reshape(Tc, 8, F)
         level_grads[l] = _unpack_dense_grad(
             packed_grad, res_l, F, T).reshape(T * F)
         if cfg.compute_x_grad:
