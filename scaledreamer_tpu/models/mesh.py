@@ -202,8 +202,10 @@ def bake_texture(mesh: Mesh, uv: np.ndarray, color_fn, size: int = 1024,
     from ..ops.rasterize import interpolate, rasterize
 
     V = uv.shape[0]
-    # UV -> clip: u right, v down == image row (y_ndc = 1 - 2v)
-    v_clip = np.stack([uv[:, 0] * 2.0 - 1.0, 1.0 - 2.0 * uv[:, 1],
+    # UV -> clip: u right; texel row = v * size under the rasterizer's
+    # +y_ndc -> increasing-row convention (ops/rasterize.py), so
+    # y_ndc = 2v - 1
+    v_clip = np.stack([uv[:, 0] * 2.0 - 1.0, 2.0 * uv[:, 1] - 1.0,
                        np.zeros(V, np.float32), np.ones(V, np.float32)],
                       axis=-1)
     rast = rasterize(jnp.asarray(v_clip), jnp.asarray(mesh.t_pos_idx),

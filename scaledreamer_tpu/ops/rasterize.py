@@ -13,7 +13,10 @@ texture baking (reference threestudio/utils/rasterize.py:7-78 —
 - perspective-correct attribute interpolation via 1/w weighting.
 
 Convention: clip-space verts (x, y, z, w) with NDC = xyz/w in [-1, 1];
-pixel (0, 0) is the TOP-LEFT of the image, +y_ndc is up.
+pixel (0, 0) is the TOP-LEFT of the image and +y_ndc maps to INCREASING
+row (matching this framework's camera/projection matrices — verified
+against the volume renderers on an off-center object: the data layer's
+projection negates y so world-up lands at NDC -y / image top).
 """
 
 from __future__ import annotations
@@ -36,7 +39,7 @@ def _screen_xy(v_clip: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     w = v_clip[:, 3:4]
     ndc = v_clip[:, :2] / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
     x = (ndc[:, 0] * 0.5 + 0.5) * W
-    y = (0.5 - ndc[:, 1] * 0.5) * H
+    y = (ndc[:, 1] * 0.5 + 0.5) * H
     return jnp.stack([x, y], axis=-1)
 
 
@@ -134,7 +137,7 @@ def rasterize(v_clip: jnp.ndarray, faces: jnp.ndarray,
     def sxy_d(v):
         w = jnp.where(jnp.abs(v[:, 3]) > 1e-12, v[:, 3], 1e-12)
         return jnp.stack([(v[:, 0] / w * 0.5 + 0.5) * W,
-                          (0.5 - v[:, 1] / w * 0.5) * H], axis=-1)
+                          (v[:, 1] / w * 0.5 + 0.5) * H], axis=-1)
 
     pa, pb, pc = sxy_d(va), sxy_d(vb), sxy_d(vc)            # [P, 2]
     p = px.reshape(P, 2)

@@ -95,8 +95,14 @@ def test_rasterize_single_triangle_coverage_and_depth():
     m = np.asarray(rast.mask)
     assert m[16, 16]              # center covered
     assert not m[0, 0]            # corner outside
-    # top of image (row 0) is +y in NDC: the apex (y=0.9) is near the top
-    assert m[3, 16] and not m[30, 16] or m[2, 16]
+    # +y_ndc maps to increasing row (the framework camera convention,
+    # cross-checked against the volume renderers): the apex (y=0.9) ends
+    # near the BOTTOM, the wide base (y=-0.9) spans the top rows
+    rows = np.nonzero(m.any(axis=1))[0]
+    assert rows.min() <= 4 and rows.max() >= 26
+    width_top = m[rows.min()].sum()
+    width_bottom = m[rows.max()].sum()
+    assert width_top > width_bottom  # base up, apex down
     z = np.asarray(rast.z)
     assert abs(z[16, 16] - 0.5) < 1e-5
     b = np.asarray(rast.bary)[16, 16]
@@ -169,6 +175,106 @@ def _camera_batch(B=1, H=16, W=16):
         "batch_size": B, "width": W, "height": H}), seed=0)
     dm.setup("fit")
     return dm.train_batch()
+
+
+def test_mesh_render_orientation_matches_volume(tmp_path):
+    """Regression: the software rasterizer must agree with the volume
+    renderers on image orientation (caught a vertical flip in r2). An SDF
+    pre-fit to an OFF-CENTER sphere is rendered by both paths with the
+    same camera; mask centroids must coincide."""
+    import optax
+
+    def build(renderer_type, renderer_cfg):
+        cls = sd.find("scaledreamer-system")
+        return cls(cfg=parse_structured(cls.Config, {
+            "geometry_type": "implicit-sdf",
+            "geometry": {
+                "radius": 1.0, "shape_init": "sphere",
+                "shape_init_params": 0.35, "normal_type": "analytic",
+                "pos_encoding_config": {
+                    "otype": "HashGrid", "n_levels": 4,
+                    "n_features_per_level": 2, "log2_hashmap_size": 8,
+                    "base_resolution": 4, "per_level_scale": 1.5}},
+            "material_type": "no-material",
+            "material": {"requires_normal": True},
+            "background_type": "solid-color-background",
+            "renderer_type": renderer_type, "renderer": renderer_cfg,
+            "guidance_type": "dummy-guidance", "guidance": {},
+            "prompt_processor_type": "dummy-prompt-processor",
+            "prompt_processor": {"prompt": "x",
+                                 "cache_dir": str(tmp_path / "pp")},
+            "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+        }))
+
+    dm_cls = sd.find("random-camera-datamodule")
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, {
+        "batch_size": 1, "width": 24, "height": 24,
+        "elevation_range": [25, 25], "azimuth_range": [0, 0],
+        "camera_distance_range": [1.8, 1.8],
+        "fovy_range": [60, 60]}), seed=0)
+    dm.setup("fit")
+    batch = dm.train_batch()
+
+    sys_vol = build("neus-volume-renderer",
+                    {"radius": 1.0, "num_samples_per_ray": 32,
+                     "use_volsdf": True, "trainable_variance": False,
+                     "learned_variance_init": 0.35,
+                     "estimator": "importance",
+                     "num_samples_per_ray_importance": 16})
+    state = sys_vol.init_state(jax.random.PRNGKey(0), batch)
+    geo = sys_vol.geometry
+
+    # fit the SDF to a sphere shifted UP (+z world)
+    tx = optax.adam(5e-3)
+    gp = {"params": state.params["geometry"]}
+    opt = tx.init(gp)
+    center = jnp.asarray([0.0, 0.0, 0.45])
+
+    @jax.jit
+    def fit(gp, opt, k):
+        pts = jax.random.uniform(k, (2048, 3), minval=-1, maxval=1)
+
+        def loss(p):
+            sdf = geo.apply(p, pts, method=geo.forward_sdf)
+            gt = jnp.linalg.norm(pts - center, axis=-1,
+                                 keepdims=True) - 0.3
+            return jnp.mean((sdf - gt) ** 2)
+
+        l, g = jax.value_and_grad(loss)(gp)
+        u, opt = tx.update(g, opt, gp)
+        return optax.apply_updates(gp, u), opt, l
+
+    for i in range(200):
+        gp, opt, _ = fit(gp, opt, jax.random.PRNGKey(i))
+    params = dict(state.params)
+    params["geometry"] = gp["params"]
+
+    out_v = sys_vol.renderer.apply(
+        {"params": params}, jnp.asarray(batch["rays_o"]),
+        jnp.asarray(batch["rays_d"]),
+        light_positions=jnp.asarray(batch["light_positions"]), train=False)
+    mask_v = np.asarray(out_v["opacity"])[0, :, :, 0] > 0.5
+
+    sys_mesh = build("mesh-rasterize-renderer",
+                     {"radius": 1.0, "isosurface_resolution": 20,
+                      "render_rgb": False, "rasterize_chunk": 512})
+    out_m = sys_mesh.renderer.apply(
+        {"params": params}, jnp.asarray(batch["rays_o"]),
+        jnp.asarray(batch["rays_d"]),
+        light_positions=jnp.asarray(batch["light_positions"]),
+        mvp_mtx=jnp.asarray(batch["mvp_mtx"]),
+        camera_positions=jnp.asarray(batch["camera_positions"]),
+        train=False)
+    mask_m = np.asarray(out_m["opacity"])[0, :, :, 0] > 0.5
+
+    assert mask_v.sum() > 20 and mask_m.sum() > 20
+
+    def centroid(m):
+        ys, xs = np.nonzero(m)
+        return np.array([ys.mean(), xs.mean()])
+
+    delta = np.abs(centroid(mask_v) - centroid(mask_m))
+    assert (delta < 3.0).all(), (centroid(mask_v), centroid(mask_m))
 
 
 def test_texture_stage_train_step(tmp_path):
