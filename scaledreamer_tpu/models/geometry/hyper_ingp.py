@@ -178,7 +178,23 @@ class HyperINGP(nn.Module):
         [B*N, .] outputs (reference forward :261-325)."""
         B, N, _ = points.shape
         points_unscaled = points
-        enc = self._encode(points)
+        denc = None
+        if output_normal and self.cfg.normal_type == "analytic":
+            if self.cfg.unbounded:
+                raise NotImplementedError(
+                    "analytic normals assume the linear bbox contraction "
+                    "jacobian; use finite_difference with unbounded=True")
+            # ONE fused encode serves sdf, features AND normals — the
+            # gathers (the TPU bottleneck) are paid once; a separate plain
+            # encode here would double both the forward and the backward
+            # (trace-profiled in r2: two full scatter/scan passes)
+            pts_unit = contract_to_unisphere(
+                points_unscaled, self.bbox, self.cfg.unbounded)
+            enc_flat, denc = self.encoding(
+                pts_unit.reshape(-1, 3), with_grad=True)
+            enc = enc_flat.reshape(B, N, -1)
+        else:
+            enc = self._encode(points)
         sdf = hypernet_forward(enc, space_cache["sdf_weights"])
         sdf = self.get_shifted_sdf(points_unscaled, sdf)
         out = {"sdf": sdf.reshape(B * N, 1)}
@@ -201,18 +217,8 @@ class HyperINGP(nn.Module):
                     grads.append((s_off - sdf) / eps)
                 sdf_grad = jnp.concatenate(grads, axis=-1)
             elif nt == "analytic":
-                if self.cfg.unbounded:
-                    raise NotImplementedError(
-                        "analytic normals assume the linear bbox contraction "
-                        "jacobian; use finite_difference with unbounded=True")
-                # fused path: ONE gather yields enc AND d(enc)/dx
-                # (ops/hashgrid.hashgrid_encode_with_grad); chain through the
-                # tiny bmm head via jvp — normals add no extra table gathers
-                pts_unit = contract_to_unisphere(
-                    points_unscaled, self.bbox, self.cfg.unbounded)
-                enc_flat, denc = self.encoding(
-                    pts_unit.reshape(-1, 3), with_grad=True)
-                enc_b = enc_flat.reshape(B, N, -1)
+                # denc computed above by the shared fused encode
+                enc_b = enc
                 w_list = space_cache["sdf_weights"]
 
                 def head(e):

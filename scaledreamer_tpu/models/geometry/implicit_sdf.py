@@ -77,7 +77,18 @@ class ImplicitSDF(nn.Module):
     def __call__(self, points, output_normal: bool = False):
         points_unscaled = points
         pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
-        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        denc = None
+        if output_normal and self.cfg.normal_type == "analytic":
+            if self.cfg.unbounded:
+                raise NotImplementedError(
+                    "analytic normals assume the linear bbox contraction "
+                    "jacobian; use finite_difference with unbounded=True")
+            # ONE fused encode serves sdf, features AND normals (a second
+            # plain encode would double the gather fwd+bwd cost)
+            enc, denc = self.encoding(
+                pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+        else:
+            enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
         sdf = self.sdf_network(enc).reshape(*points.shape[:-1], 1)
         sdf = self.get_shifted_sdf(points_unscaled, sdf)
         out = {"sdf": sdf}
@@ -107,13 +118,8 @@ class ImplicitSDF(nn.Module):
                     *points.shape[:-1], 3))
                 sdf_grad = normal
             elif nt == "analytic":
-                if self.cfg.unbounded:
-                    raise NotImplementedError(
-                        "analytic normals assume the linear bbox contraction "
-                        "jacobian; use finite_difference with unbounded=True")
-                # fused encode+grad (see implicit_volume analytic branch)
-                enc_g, denc = self.encoding(
-                    pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+                # denc computed above by the shared fused encode
+                enc_g = enc
                 scale = 1.0 / (2.0 * self.cfg.radius)
                 pflat = points_unscaled.reshape(-1, 3)
 

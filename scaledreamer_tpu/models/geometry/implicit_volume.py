@@ -82,7 +82,20 @@ class ImplicitVolume(nn.Module):
     def __call__(self, points, output_normal: bool = False):
         points_unscaled = points
         pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
-        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        denc = None
+        if output_normal and self.cfg.normal_type == "analytic":
+            if self.cfg.unbounded:
+                raise NotImplementedError(
+                    "analytic normals assume the linear bbox contraction "
+                    "jacobian 1/(2*radius); unbounded=True applies the "
+                    "nonlinear mipnerf360 contraction — use "
+                    "finite_difference normals instead")
+            # ONE fused encode serves density, features AND normals (a
+            # second plain encode would double the gather fwd+bwd cost)
+            enc, denc = self.encoding(
+                pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+        else:
+            enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
         density = self.density_network(enc).reshape(*points.shape[:-1], 1)
         raw_density, density = self._activate_density(points_unscaled, density)
         out = {"density": density}
@@ -120,16 +133,9 @@ class ImplicitVolume(nn.Module):
                 normal = safe_normalize(self.normal_network(enc).reshape(
                     *points.shape[:-1], 3))
             elif nt == "analytic":
-                if self.cfg.unbounded:
-                    raise NotImplementedError(
-                        "analytic normals assume the linear bbox contraction "
-                        "jacobian 1/(2*radius); unbounded=True applies the "
-                        "nonlinear mipnerf360 contraction — use "
-                        "finite_difference normals instead")
-                # fused encode+grad: one gather pass yields enc and d enc/dx;
-                # jvp through (MLP + bias + activation) gives d density/dx
-                enc_g, denc = self.encoding(
-                    pts.reshape(-1, self.cfg.n_input_dims), with_grad=True)
+                # denc computed above by the shared fused encode; jvp
+                # through (MLP + bias + activation) gives d density/dx
+                enc_g = enc
                 scale = 1.0 / (2.0 * self.cfg.radius)  # d pts / d points
                 pflat = points_unscaled.reshape(-1, 3)
 
