@@ -458,14 +458,13 @@ def _encode_bwd(cfg, res_saved, g):
         cell, w = _cell_and_w(x, res_l)
         cw = _packed_corner_weights(w, cfg)                 # [N, 8]
         m = mask_arr[l]
-        keys, vals = [], []
-        for k in range(8):
-            for f in range(F):
-                keys.append(cell * (8 * F) + (k * F + f))
-                vals.append(cw[:, k] * g_by_level[l, f] * m)
+        # matrix-valued scatter: ONE segment row of 8F lanes per point
+        # instead of 8F scalar rows (sorted-scatter cost is per ROW —
+        # measured 117 -> 35..114 ms/level on v5e)
+        gT = (g_by_level[l] * m).T                          # [N, F]
+        data = (cw[:, :, None] * gT[:, None, :]).reshape(N, 8 * F)
         packed_grad = jax.ops.segment_sum(
-            jnp.concatenate(vals), jnp.concatenate(keys),
-            num_segments=Tc * 8 * F).reshape(Tc, 8, F)
+            data, cell, num_segments=Tc).reshape(Tc, 8, F)
         level_grads[l] = _unpack_dense_grad(
             packed_grad, res_l, F, T).reshape(T * F)
         if cfg.compute_x_grad:
@@ -802,18 +801,18 @@ def _ewg_bwd(cfg, res_saved, gs):
         cw = _packed_corner_weights(w, cfg)                 # [N, 8]
         dxw, dyw, dzw = _packed_weight_derivs(w, cfg)
         m = mask_arr[l]
-        keys, vals = [], []
-        for k in range(8):
-            for f in range(F):
-                coef = (cw[:, k] * gl_enc[l, f]
-                        + dxw[:, k] * gl_x[l, f] * resf
-                        + dyw[:, k] * gl_y[l, f] * resf
-                        + dzw[:, k] * gl_z[l, f] * resf) * m
-                keys.append(cell * (8 * F) + (k * F + f))
-                vals.append(coef)
+        # matrix-valued scatter (one 8F-lane row per point; see
+        # _encode_bwd): data[n,k,f] = sum of 4 outer products
+        geT = (gl_enc[l] * m).T                             # [N, F]
+        gxT = (gl_x[l] * m * resf).T
+        gyT = (gl_y[l] * m * resf).T
+        gzT = (gl_z[l] * m * resf).T
+        data = (cw[:, :, None] * geT[:, None, :]
+                + dxw[:, :, None] * gxT[:, None, :]
+                + dyw[:, :, None] * gyT[:, None, :]
+                + dzw[:, :, None] * gzT[:, None, :]).reshape(N, 8 * F)
         packed_grad = jax.ops.segment_sum(
-            jnp.concatenate(vals), jnp.concatenate(keys),
-            num_segments=Tc * 8 * F).reshape(Tc, 8, F)
+            data, cell, num_segments=Tc).reshape(Tc, 8, F)
         level_grads[l] = _unpack_dense_grad(
             packed_grad, res_l, F, T).reshape(T * F)
         if cfg.compute_x_grad:
