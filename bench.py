@@ -109,19 +109,31 @@ def main():
         state = st
     jax.block_until_ready(state.params)
 
+    # headline: pipelined throughput — N steps timed against ONE final
+    # scalar readback (how real training runs: metrics sync only at log
+    # intervals). Timing is still anchored on a device->host fetch because
+    # on the axon relay block_until_ready returns before execution
+    # finishes (measured) — but the fetch happens once, after the queue
+    # drains, so the wall clock covers every queued step.
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_steps):
         state, metrics = run_step(i)
-        # force completion with a scalar readback: on the axon relay,
-        # block_until_ready returns before execution finishes (measured),
-        # so timing must be anchored on a device->host fetch
-        loss_val = float(np.asarray(metrics["loss"]))
         if os.environ.get("BENCH_PRINT_LOSS"):
-            print(f"step {i}: loss={loss_val:.3f} "
+            print(f"step {i}: loss={float(np.asarray(metrics['loss'])):.3f} "
                   f"asd={float(np.asarray(metrics['loss_asd'])):.3f} "
                   f"gnorm={float(np.asarray(metrics['grad_norm'])):.3f}",
                   file=sys.stderr)
+    loss_val = float(np.asarray(metrics["loss"]))
     elapsed = time.perf_counter() - t0
+
+    # secondary: fully synchronous rate (scalar readback EVERY step) —
+    # the honest per-step latency including the relay round trip
+    t1 = time.perf_counter()
+    n_sync = max(4, n_steps // 4)
+    for i in range(n_warmup + n_steps, n_warmup + n_steps + n_sync):
+        state, metrics = run_step(i)
+        loss_val = float(np.asarray(metrics["loss"]))
+    sync_iters_per_sec = n_sync / (time.perf_counter() - t1)
 
     iters_per_sec = n_steps / elapsed
     # secondary: rays/sec through the volume renderer
@@ -146,6 +158,7 @@ def main():
             "rays_per_sec": round(rays_per_sec, 1),
             "samples_per_ray": S,
             "steps_timed": n_steps,
+            "sync_iters_per_sec": round(sync_iters_per_sec, 4),
             "device": str(jax.devices()[0]),
             "loss_final": loss_val,
             # random-init SD weights (zero-egress image): ASD "training"

@@ -204,12 +204,15 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
         glob = np.stack([self.global_text_embeddings[p] for p in prompt])
         vd = np.stack([vd_of(p) for p in prompt])
         global_embed = local if self.cfg.use_local_text_embeddings else glob
+        # numpy, NOT jnp: prepare_batch feeds these straight into the jitted
+        # step; jnp.asarray here would push to device only for prepare_batch
+        # to pull them back (a full relay round trip, measured ~340 ms/step)
         return PromptProcessorOutput(
-            text_embeddings=jnp.asarray(local),
-            uncond_text_embeddings=jnp.asarray(
+            text_embeddings=np.ascontiguousarray(local),
+            uncond_text_embeddings=np.ascontiguousarray(
                 self.local_text_embeddings[neg]),
-            text_embeddings_vd=jnp.asarray(vd),
-            uncond_text_embeddings_vd=jnp.asarray(vd_of(neg)),
+            text_embeddings_vd=np.ascontiguousarray(vd),
+            uncond_text_embeddings_vd=np.ascontiguousarray(vd_of(neg)),
             use_perp_neg=self.cfg.use_perp_neg,
             perp_neg_f_sb=self.cfg.perp_neg_f_sb,
             perp_neg_f_fsb=self.cfg.perp_neg_f_fsb,
@@ -220,7 +223,7 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
             overhead_threshold=self.cfg.overhead_threshold,
             front_threshold=self.cfg.front_threshold,
             back_threshold=self.cfg.back_threshold,
-            global_text_embeddings=jnp.asarray(global_embed),
+            global_text_embeddings=np.ascontiguousarray(global_embed),
         )
 
 
