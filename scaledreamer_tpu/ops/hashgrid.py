@@ -68,6 +68,12 @@ class HashGridConfig:
     # at exactly x = 1.0 packed clamps to the last cell (more correct than
     # the unpacked path's out-of-region read).
     dense_cell_packing: bool = False
+    # Packing cutoff: above this many dense cells the backward's
+    # matrix-valued scatter (cost grows with num_segments, ~0.3 us/segment
+    # measured) loses to the unpacked simplex scalar scatter (~7 ns/row),
+    # so big dense levels stay on the scan path. 150k keeps res<=48 packed
+    # and unpacks res=70 at the default 2^19 table (measured -50 ms/step).
+    packing_max_entries: int = 150_000
 
     @property
     def table_size(self) -> int:
@@ -139,6 +145,17 @@ def _level_constants(cfg: HashGridConfig):
     dense = np.asarray([(int(r) + 1) ** 3 <= cfg.table_size for r in res],
                        bool)
     return res, dense
+
+
+def _packed_level_list(cfg: HashGridConfig):
+    """Levels that use the cell-packed layout: dense AND small enough that
+    the packed backward's matrix scatter beats the scan path (see
+    packing_max_entries)."""
+    if not cfg.dense_cell_packing:
+        return []
+    res, dense = _level_constants(cfg)
+    return [l for l in range(cfg.n_levels)
+            if dense[l] and (int(res[l]) + 1) ** 3 <= cfg.packing_max_entries]
 
 
 def _corner_weight_1d(w, corner):
@@ -213,10 +230,17 @@ def _simplex_parts(w):
     cell and simplex boundaries (standard simplex/tetrahedral interpolation;
     4 table rows per lookup instead of trilinear's 8).
     """
-    order = jnp.argsort(-w, axis=-1)                # [N, 3] desc
-    oh1 = jax.nn.one_hot(order[:, 0], 3, dtype=w.dtype)
-    oh2 = jax.nn.one_hot(order[:, 1], 3, dtype=w.dtype)
-    oh3 = jax.nn.one_hot(order[:, 2], 3, dtype=w.dtype)
+    # descending ranks via 6 comparisons (beats an argsort kernel per
+    # level; the <=/< asymmetry makes ranks a permutation even under ties,
+    # matching stable argsort's first-index-wins)
+    a, b, c = w[:, 0], w[:, 1], w[:, 2]
+    r0 = (a < b).astype(jnp.int32) + (a < c).astype(jnp.int32)
+    r1 = (b <= a).astype(jnp.int32) + (b < c).astype(jnp.int32)
+    r2 = (c <= a).astype(jnp.int32) + (c <= b).astype(jnp.int32)
+    ranks = jnp.stack([r0, r1, r2], axis=-1)        # [N, 3]
+    oh1 = (ranks == 0).astype(w.dtype)
+    oh2 = (ranks == 1).astype(w.dtype)
+    oh3 = (ranks == 2).astype(w.dtype)
     u1 = jnp.sum(w * oh1, axis=-1)
     u2 = jnp.sum(w * oh2, axis=-1)
     u3 = jnp.sum(w * oh3, axis=-1)
@@ -309,11 +333,12 @@ def _encode_impl(table, x, cfg: HashGridConfig, level_mask):
     T = cfg.table_size
     simplex = cfg.interpolation == "Simplex"
     res_np, dense_np = _level_constants(cfg)
+    packed_set = set(_packed_level_list(cfg))
     outs = []
     for level in range(cfg.n_levels):
         res_l = int(res_np[level])
         dense = bool(dense_np[level])
-        if dense and cfg.dense_cell_packing:
+        if level in packed_set:
             # ONE gathered row per point: packed [Tc, 8F] built by slicing
             F = cfg.n_features_per_level
             packed = _pack_dense_level(table[level], res_l, F)
@@ -434,8 +459,7 @@ def _encode_bwd(cfg, res_saved, g):
         scale = res.astype(jnp.float32)
         return None, (tg, jnp.stack([gx, gy, gz]) * scale)
 
-    packed_levels = ([l for l in range(cfg.n_levels) if dense_np[l]]
-                     if cfg.dense_cell_packing else [])
+    packed_levels = _packed_level_list(cfg)
     scan_levels = [l for l in range(cfg.n_levels) if l not in packed_levels]
 
     if scan_levels:
@@ -590,11 +614,12 @@ def _encode_with_grad_impl(table, x, cfg: HashGridConfig, level_mask):
     T = cfg.table_size
     simplex = cfg.interpolation == "Simplex"
     res_np, dense_np = _level_constants(cfg)
+    packed_set = set(_packed_level_list(cfg))
     outs, gx_outs, gy_outs, gz_outs = [], [], [], []
     for level in range(cfg.n_levels):
         res_l = int(res_np[level])
         dense = bool(dense_np[level])
-        if dense and cfg.dense_cell_packing:
+        if level in packed_set:
             F = cfg.n_features_per_level
             packed = _pack_dense_level(table[level], res_l, F)
             cell, w = _cell_and_w(x, res_l)
@@ -776,8 +801,7 @@ def _ewg_bwd(cfg, res_saved, gs):
                                  num_segments=T * F)
         return None, (tg, jnp.stack([xg0, xg1, xg2]))
 
-    packed_levels = ([l for l in range(cfg.n_levels) if dense_np[l]]
-                     if cfg.dense_cell_packing else [])
+    packed_levels = _packed_level_list(cfg)
     scan_levels = [l for l in range(cfg.n_levels) if l not in packed_levels]
 
     if scan_levels:
