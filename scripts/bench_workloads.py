@@ -56,9 +56,15 @@ WORKLOADS = {
             "tag=bench_hyper_ingp",
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            # unchunked + TPU-first encode options: the bench.py defaults
+            # (chunking was a compile-helper workaround; unchunked compiles)
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "2048"),
+            + os.environ.get("BENCH_CHUNK", "0"),
             "system.geometry.normal_type=analytic",
+            "system.geometry.pos_encoding_config.interpolation="
+            + os.environ.get("BENCH_INTERP", "Simplex"),
+            "system.geometry.pos_encoding_config.dense_cell_packing="
+            + os.environ.get("BENCH_PACKING", "true"),
         ]),
     # 3DConv-net + SD amortized
     "conv3d": dict(
@@ -68,7 +74,7 @@ WORKLOADS = {
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "2048"),
+            + os.environ.get("BENCH_CHUNK", "0"),
         ]),
     # Triplane-Transformer + MVDream amortized
     "triplane": dict(
@@ -131,17 +137,27 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
         state, metrics = run_step(state, i)
     float(np.asarray(metrics["loss"]))
 
+    # pipelined wall-clock: one scalar readback after the timed window
+    # (bench.py methodology; readback anchors completion on the relay)
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_steps):
         state, metrics = run_step(state, i)
-        loss = float(np.asarray(metrics["loss"]))
+    loss = float(np.asarray(metrics["loss"]))
     elapsed = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    n_sync = max(2, n_steps // 4)
+    for i in range(n_warmup + n_steps, n_warmup + n_steps + n_sync):
+        state, metrics = run_step(state, i)
+        loss = float(np.asarray(metrics["loss"]))
+    sync_rate = n_sync / (time.perf_counter() - t1)
 
     B, H, W = batch["rays_o"].shape[:3]
     return {
         "workload": name,
         "config": spec["config"],
         "iters_per_sec": round(n_steps / elapsed, 4),
+        "sync_iters_per_sec": round(sync_rate, 4),
         "batch": [int(B), int(H), int(W)],
         "steps_timed": n_steps,
         "loss_final": loss,
