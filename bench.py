@@ -80,7 +80,20 @@ def main():
             # unpacked path (exact-match tested); one gathered row/lookup
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
-        ],
+        ] + ([
+            # TPU-first table RE-SLICE: 8 levels x 4 features (identical
+            # param count 8*2^19*4 == 16*2^19*2, identical 32-dim output,
+            # identical finest resolution 4096; per_level_scale adjusted to
+            # exp(ln(256)/7)). Gather/scatter cost is per ROW and
+            # width-independent (memory axon-tpu-measurement), so halving
+            # the level count halves the forward encode gathers: measured
+            # 248 -> 144 ms fwd per 786k points, backward unchanged
+            # (scripts/microbench_encode.py). BENCH_RESLICE=0 for the tcnn
+            # 16x2 parity slicing.
+            "system.geometry.pos_encoding_config.n_levels=8",
+            "system.geometry.pos_encoding_config.n_features_per_level=4",
+            "system.geometry.pos_encoding_config.per_level_scale=2.2081413",
+        ] if os.environ.get("BENCH_RESLICE", "1") == "1" else []),
         n_gpus=jax.device_count())
 
     dm_cls = sd.find(cfg.data_type)

@@ -101,8 +101,10 @@ def save_img_sequence(path: str, frame_dir: str, pattern: str = ".png",
 
 def render_row_from_output(out: dict) -> List[np.ndarray]:
     """Standard validation row: rgb | normal | opacity | depth
-    (reference multiprompt_radience_field_generator.py:235-278)."""
-    row = [np.asarray(out["comp_rgb"])]
+    (reference multiprompt_radience_field_generator.py:235-278); the
+    rgb column prefers the VAE-decoded image when the renderer emits
+    latents (reference :243 decoded_rgb)."""
+    row = [np.asarray(out.get("decoded_rgb", out["comp_rgb"]))]
     if "comp_normal" in out:
         row.append(np.asarray(out["comp_normal"]))
     row.append(grayscale_to_rgb(np.asarray(out["opacity"]), (0, 1)))

@@ -104,12 +104,36 @@ class MultipromptRandomCameraDataset4Test:
 
 
 class MultipromptRandomCameraDataset4FixPrompt(MultipromptRandomCameraDataset4Test):
-    """Fixed-prompt eval (reference multiprompt.py Dataset4FixPrompt)."""
+    """Fixed-prompt eval (reference multiprompt.py:125-163
+    Dataset4FixPrompt): ZERO noise, optional fixed camera
+    (`eval_fix_camera`), and optional prompt interpolation — with
+    `target_prompt` set, each view i carries (prompt_target, ratio_i) with
+    ratio linspace(0,1); the system lerps the global text embeddings
+    `ratio*emb(prompt) + (1-ratio)*emb(target)` (reference
+    multiprompt_radience_field_generator.py:95-98)."""
 
     def __init__(self, cfg, split: str, prompt_library: Dict, seed: int = 0):
         super().__init__(cfg, split, prompt_library, seed)
         assert cfg.eval_prompt is not None
         self.prompts = [cfg.eval_prompt]
+        self.noises = np.zeros((self.n_views, cfg.dim_gaussian), np.float32)
+        self.target_prompt = cfg.target_prompt
+        self.ratios = np.linspace(0.0, 1.0, self.n_views).astype(np.float32)
+        self.fix_camera = cfg.eval_fix_camera
+
+    def __iter__(self):
+        for i in range(self.n_views):
+            cam = self.fix_camera if self.fix_camera is not None else i
+            batch = dict(self.camera_dataset[cam])
+            batch["noise"] = self.noises[i:i + 1]
+            batch["prompt"] = [self.prompts[0]]
+            batch["index"] = i
+            if self.target_prompt is not None:
+                batch["prompt_target"] = [self.target_prompt]
+                batch["ratio"] = self.ratios[i]
+                batch["name"] = "_to_".join(
+                    [self.prompts[0], self.target_prompt])
+            yield batch
 
 
 @register("multiprompt-camera-datamodule")

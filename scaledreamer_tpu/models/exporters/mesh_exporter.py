@@ -113,24 +113,31 @@ class MeshExporter(BaseObject):
                 getattr(cfg_geo, "isosurface_outlier_n_faces_threshold",
                         0.01))
 
+        def _export_out(p):
+            if space_cache is not None:
+                return geometry.apply(geo_params, p[None], space_cache,
+                                      method=geometry.export)
+            return geometry.apply(geo_params, p, method=geometry.export)
+
+        # Feature-less geometries export an UNcolored OBJ (reference
+        # mesh_exporter.py behavior) rather than all-black vertex colors;
+        # probe the export signature without computing anything.
+        probe = jax.eval_shape(
+            _export_out, jax.ShapeDtypeStruct((8, 3), jnp.float32))
+        has_features = probe.get("features") is not None
+
         @jax.jit
         def eval_color_points(p):
             """[N, 3] world points -> [N, 3] albedo."""
-            if space_cache is not None:
-                out = geometry.apply(geo_params, p[None], space_cache,
-                                     method=geometry.export)
-            else:
-                out = geometry.apply(geo_params, p, method=geometry.export)
-            feats = out.get("features")
-            if feats is None:
-                return jnp.zeros((p.shape[0], 3))
+            out = _export_out(p)
+            feats = out["features"]
             mat_out = system.material.apply(
                 {"params": state.params.get("material", {})},
                 features=feats.reshape(-1, feats.shape[-1]),
                 method=system.material.export)
             return mat_out["albedo"]
 
-        def color_fn(points_np):
+        def _color_points(points_np):
             outs = []
             for i in range(0, len(points_np), chunk):
                 outs.append(np.asarray(eval_color_points(
@@ -138,10 +145,15 @@ class MeshExporter(BaseObject):
             return (np.concatenate(outs) if outs
                     else np.zeros((0, 3), np.float32))
 
+        color_fn = _color_points if has_features else None
+
         out_path = os.path.join(save_dir, f"{self.cfg.save_name}.obj")
         outputs = [out_path]
 
-        if self.cfg.save_texture:
+        if self.cfg.save_texture and color_fn is None:
+            logger.warning("save_texture requested but the geometry exports "
+                           "no features; writing an uncolored OBJ instead")
+        if self.cfg.save_texture and color_fn is not None:
             # UV unwrap + texture bake + obj/mtl/image (reference
             # mesh_exporter.py:43-137 xatlas+nvdiffrast path)
             from ..mesh import bake_texture, box_projection_unwrap
@@ -164,7 +176,7 @@ class MeshExporter(BaseObject):
             return outputs
 
         v_rgb = None
-        if self.cfg.save_vertex_color:
+        if self.cfg.save_vertex_color and color_fn is not None:
             v_rgb = color_fn(mesh.v_pos)
             if v_rgb.shape[0] != mesh.v_pos.shape[0]:
                 v_rgb = None

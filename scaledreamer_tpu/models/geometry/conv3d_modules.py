@@ -85,16 +85,26 @@ class MappingNetwork(nn.Module):
 
     @nn.compact
     def __call__(self, z, c=None, truncation_psi=1.0,
-                 return_w: bool = False):
+                 return_w: bool = False, unconditional: bool = False):
         x = normalize_2nd_moment(z)
         lr_mult = 0.01 if self.c_dim == 0 else 1.0
         for i in range(self.num_layers):
             x = FullyConnectedLayer(self.w_dim, activation="lrelu",
                                     lr_multiplier=lr_mult,
                                     name=f"layers_{i}")(x)
-        if self.c_dim > 0 and c is not None:
-            x = jnp.concatenate([x, c], axis=-1)
-            x = FullyConnectedLayer(self.w_dim, name="embed")(x)
+        if self.c_dim > 0:
+            # c=None is only legal on the explicitly-unconditional path
+            # (the sphere shape-init pre-fit, which the reference also runs
+            # without text); a missing embedding at train time must ERROR,
+            # not silently skip the embed layer.
+            if c is None:
+                assert unconditional, (
+                    "MappingNetwork: c_dim > 0 but no conditioning embedding "
+                    "was provided (pass unconditional=True only for the "
+                    "shape-init fit)")
+            else:
+                x = jnp.concatenate([x, c], axis=-1)
+                x = FullyConnectedLayer(self.w_dim, name="embed")(x)
         w_avg = self.param("w_avg", nn.initializers.zeros, (self.w_dim,))
         wa = jax.lax.stop_gradient(w_avg)
         x_t = wa + truncation_psi * (x - wa)
@@ -252,6 +262,11 @@ class SynthesisNetwork3D(nn.Module):
     img_channels: int
     channel_multiplier: int = 1
     bias_resolution: int = 64
+    # Proportional scale of the reference channel pyramid (512 -> parity
+    # with stylegan_3dconv_modules.py:130-138). Tests shrink this so
+    # "tiny" conv3d nets are actually tiny — with the default, even a 8^3
+    # generator runs 512-channel conv3ds.
+    channel_base: int = 512
 
     @property
     def block_resolutions(self):
@@ -264,7 +279,7 @@ class SynthesisNetwork3D(nn.Module):
     def _channels(self, res):
         base = {4: 512, 8: 512, 16: 512, 32: 256, 64: 128, 128: 64, 256: 32}
         mult = 1 if res <= 16 else self.channel_multiplier
-        return base[res] * mult
+        return max(1, base[res] * self.channel_base // 512) * mult
 
     @nn.compact
     def __call__(self, ws, noise_mode="random"):
@@ -297,21 +312,25 @@ class Generator3D(nn.Module):
     img_channels: int = 32
     channel_multiplier: int = 1
     bias_resolution: int = 64
+    channel_base: int = 512
 
     @nn.compact
     def __call__(self, z, c=None, truncation_psi=1.0,
-                 noise_mode: str = "random", return_w: bool = False):
+                 noise_mode: str = "random", return_w: bool = False,
+                 unconditional: bool = False):
         synthesis = SynthesisNetwork3D(
             w_dim=self.w_dim, img_resolution=self.img_resolution,
             img_channels=self.img_channels,
             channel_multiplier=self.channel_multiplier,
-            bias_resolution=self.bias_resolution, name="synthesis")
+            bias_resolution=self.bias_resolution,
+            channel_base=self.channel_base, name="synthesis")
         mapping = MappingNetwork(
             z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
             num_ws=synthesis.num_ws, num_layers=self.num_layers,
             name="mapping")
         if return_w:
-            ws, w = mapping(z, c, truncation_psi, return_w=True)
+            ws, w = mapping(z, c, truncation_psi, return_w=True,
+                            unconditional=unconditional)
             return synthesis(ws, noise_mode), w
-        ws = mapping(z, c, truncation_psi)
+        ws = mapping(z, c, truncation_psi, unconditional=unconditional)
         return synthesis(ws, noise_mode)

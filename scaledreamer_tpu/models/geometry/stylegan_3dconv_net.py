@@ -58,7 +58,8 @@ class Voxel3DSdf(nn.Module):
             c_dim=g.get("c_dim", 1024), num_layers=g.get("num_layers", 2),
             img_resolution=g.get("img_resolution", 128),
             img_channels=g.get("img_channels", 32),
-            channel_multiplier=g.get("channel_multiplier", 1))
+            channel_multiplier=g.get("channel_multiplier", 1),
+            channel_base=g.get("channel_base", 512))
         in_dim = g.get("img_channels", 32)
         self.sdf_network = get_mlp(1, self.cfg.mlp_network_config)
         if self.cfg.n_feature_dims > 0:
@@ -89,14 +90,18 @@ class Voxel3DSdf(nn.Module):
     accepts_truncation_psi = True
 
     def generate_space_cache(self, styles=None, text_embed=None,
-                             truncation_psi=None):
+                             truncation_psi=None, unconditional: bool = False):
         """mapping + synthesis -> {"voxel": [B, D, H, W, C], "w": [B, W]}
         (reference :226-241; reference layout is [B, C, D, H, W]).
-        truncation_psi may be a traced scalar (C()-annealed per step)."""
+        truncation_psi may be a traced scalar (C()-annealed per step).
+        `unconditional=True` is reserved for the shape-init pre-fit, which
+        legitimately runs without a text embedding (reference also fits
+        unconditionally); any other text_embed=None call asserts."""
         psi = self.cfg.truncation_psi if truncation_psi is None else truncation_psi
         noise_mode = "random"
         vol, w = self.space_generator(styles, text_embed, truncation_psi=psi,
-                                      noise_mode=noise_mode, return_w=True)
+                                      noise_mode=noise_mode, return_w=True,
+                                      unconditional=unconditional)
         return {"voxel": get_activation(self.cfg.activation)(vol), "w": w}
 
     def interpolate_encodings(self, points, space_cache):
@@ -227,6 +232,7 @@ def fit_shape_init_3dconv(module: Voxel3DSdf, params, n_steps: int = 1000,
 
         def loss_fn(p):
             cache = module.apply({"params": p}, styles=z, text_embed=None,
+                                 unconditional=True,
                                  method=module.generate_space_cache,
                                  rngs={"noise": kn})
             sdf = module.apply({"params": p}, pts, cache,

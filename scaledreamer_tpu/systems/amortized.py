@@ -34,6 +34,10 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
     class Config(BaseLift3DSystem.Config):
         initialize_shape: bool = False
         validation_via_video: bool = True
+        # renderer outputs 4-channel latents; guidance skips the VAE encode
+        # and eval decodes them to RGB (reference
+        # multiprompt_radience_field_generator.py:30,110-121)
+        rgb_as_latents: bool = False
 
     cfg: Config
 
@@ -43,7 +47,9 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
     # ------------------------------------------------------------------
     def prepare_batch(self, batch: Dict) -> Dict:
         """Host-side: prompt strings -> stacked embedding arrays
-        (reference forward :92-125)."""
+        (reference forward :92-125), including the prompt-interpolation
+        eval path (`prompt_target` + `ratio` lerp of the GLOBAL embedding,
+        reference :95-98)."""
         prompts = batch.get("prompt")
         if prompts is None or "text_embed" in batch:
             return batch
@@ -53,7 +59,14 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
         batch["pp_uncond"] = np.asarray(po.uncond_text_embeddings)
         batch["pp_vd"] = np.asarray(po.text_embeddings_vd)
         batch["pp_uncond_vd"] = np.asarray(po.uncond_text_embeddings_vd)
-        batch["text_embed"] = np.asarray(po.global_text_embeddings)
+        text_embed = np.asarray(po.global_text_embeddings)
+        if batch.get("prompt_target") is not None:
+            po_t = self.prompt_processor(prompt=list(batch["prompt_target"]))
+            ratio = np.float32(batch["ratio"])
+            text_embed = (ratio * text_embed
+                          + (1.0 - ratio)
+                          * np.asarray(po_t.global_text_embeddings))
+        batch["text_embed"] = text_embed
         return batch
 
     def build_prompt_utils(self, batch: Dict):
@@ -175,7 +188,7 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
                 return {k: np.asarray(v).reshape(H, W, -1)
                         for k, v in out.items()}
 
-            return render_sharded
+            return self._wrap_latent_decode(render_sharded)
 
         @jax.jit
         def render_chunk(params, rays_o, rays_d, light_positions, noise,
@@ -219,7 +232,31 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
                     merged[k] = v.reshape(H, W, -1)
             return merged
 
-        return render
+        return self._wrap_latent_decode(render)
+
+    def _wrap_latent_decode(self, render):
+        """rgb_as_latents eval parity (reference :110-121): the renderer's
+        4-channel latent image is VAE-decoded to `decoded_rgb` for
+        saving; training consumes the latents directly."""
+        if not self.cfg.rgb_as_latents:
+            return render
+        decode_jit = None
+
+        def wrapped(params, batch):
+            out = render(params, batch)
+            nonlocal decode_jit
+            if self.guidance is None or "comp_rgb" not in out:
+                return out
+            if decode_jit is None:
+                guidance = self.guidance
+                decode_jit = jax.jit(
+                    lambda gp, lat: guidance.decode_latents(gp, lat))
+            lat = jnp.asarray(out["comp_rgb"])[None]
+            out["decoded_rgb"] = np.asarray(
+                decode_jit(self.guidance_params, lat))[0]
+            return out
+
+        return wrapped
 
     def prepare_eval_batch(self, batch: Dict) -> Dict:
         return self.prepare_batch(batch)

@@ -101,8 +101,22 @@ class BaseLift3DSystem(BaseObject):
         mat_cls = find(self.cfg.material_type)
         bg_cls = find(self.cfg.background_type)
         rend_cls = find(self.cfg.renderer_type)
-        self.geometry = geo_cls(
-            cfg=parse_structured(geo_cls.Config, self.cfg.geometry))
+        geo_parsed = parse_structured(geo_cls.Config, self.cfg.geometry)
+        if getattr(rend_cls, "requires_full_image", False) and \
+                self.cfg.stage != "texture" and \
+                hasattr(geo_parsed, "pos_encoding_config"):
+            # Mesh rasterization feeds DIFFERENTIABLE pixel positions
+            # (functions of marching-tets vertices, hence of the SDF params)
+            # into geometry(); the default compute_x_grad=False would
+            # silently zero the image-guidance gradient to vertex positions
+            # through the hash encode. Force it on whenever the geometry is
+            # trainable under a mesh renderer (texture stage freezes
+            # geometry, so the cheap path stays legal there).
+            import dataclasses as _dc
+            pec = dict(geo_parsed.pos_encoding_config or {})
+            pec.setdefault("compute_x_grad", True)
+            geo_parsed = _dc.replace(geo_parsed, pos_encoding_config=pec)
+        self.geometry = geo_cls(cfg=geo_parsed)
         self.material = mat_cls(
             cfg=parse_structured(mat_cls.Config, self.cfg.material))
         self.background = bg_cls(
@@ -381,15 +395,22 @@ class BaseLift3DSystem(BaseObject):
                     min_step_percent=scalars["min_step_percent"],
                     max_step_percent=scalars["max_step_percent"],
                     grad_clip_val=scalars.get("grad_clip_val"),
+                    rgb_as_latents=bool(getattr(self.cfg, "rgb_as_latents",
+                                                False)),
                     c2w=batch.get("c2w"), fovy=batch.get("fovy"))
 
             def loss_fn(params):
                 out = render_fn(params)
                 # stage-dependent guidance input (reference
                 # scaledreamer.py:50-60): geometry distills on the normal
-                # image, every other stage on comp_rgb
+                # image, every other stage on comp_rgb. The reference zeroes
+                # non-finite values before guidance (nan_to_num(nan=0,
+                # posinf=0, neginf=0)); defaults would map inf to ~3.4e38
+                # and blow up the guidance instead.
                 guidance_inp = (out["comp_normal"] if stage == "geometry"
                                 else out["comp_rgb"])
+                guidance_inp = jnp.nan_to_num(guidance_inp, nan=0.0,
+                                              posinf=0.0, neginf=0.0)
                 g_out = call_guidance(k_guidance, guidance_inp)
                 metrics = {"loss_asd": g_out["loss_asd"],
                            "grad_norm": g_out["grad_norm"]}
@@ -401,7 +422,8 @@ class BaseLift3DSystem(BaseObject):
                                   else self.loss_cfg.lambda_geo)
                     g2 = call_guidance(
                         jax.random.fold_in(k_guidance, 1),
-                        jnp.nan_to_num(out["comp_normal"]))
+                        jnp.nan_to_num(out["comp_normal"], nan=0.0,
+                                       posinf=0.0, neginf=0.0))
                     metrics["shape_loss_asd"] = g2["loss_asd"]
                     loss = loss + (lambda_geo * scalars["lambda_asd"]
                                    * g2["loss_asd"])

@@ -118,7 +118,15 @@ def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation
 
     if not groups:
         lr = args.get("lr", 1e-3)
-        return _make_single_optimizer(name, lr, args)
+        tx = _make_single_optimizer(name, lr, args)
+        # EMA buffers (StyleGAN w_avg) live in params with zero grads but
+        # must never see unconditional transforms (AdamW/Adan weight decay
+        # would silently decay them toward 0 every step): hard-freeze them.
+        return optax.multi_transform(
+            {"__opt__": tx, "__frozen__": optax.set_to_zero()},
+            lambda tree: jax.tree_util.tree_map_with_path(
+                lambda path, _: ("__frozen__" if _is_ema_buffer(path)
+                                 else "__opt__"), tree))
 
     transforms = {}
     prefixes = []
@@ -131,6 +139,8 @@ def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation
 
     def label_fn(tree):
         def label_of(path):
+            if _is_ema_buffer(path):
+                return "__frozen__"
             dotted = _path_to_dotted(path)
             best = None
             for p in prefixes:
@@ -143,6 +153,16 @@ def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation
             lambda path, _: label_of(path), tree)
 
     return optax.multi_transform(transforms, label_fn)
+
+
+def _is_ema_buffer(path) -> bool:
+    """Out-of-band-updated buffers stored in params (w_avg EMA; see
+    systems/base.py `_apply_w_avg_ema`)."""
+    if not path:
+        return False
+    last = path[-1]
+    key = getattr(last, "key", getattr(last, "name", None))
+    return str(key if key is not None else last) == "w_avg"
 
 
 def parse_scheduler(scheduler_cfg: Optional[Dict], base_lr: float):

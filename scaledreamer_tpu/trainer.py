@@ -285,7 +285,7 @@ class Trainer:
         for i, batch in enumerate(ds):
             batch = self.system.prepare_batch(batch)
             out = render(state.params, batch)
-            rgb = np.asarray(out["comp_rgb"])
+            rgb = np.asarray(out.get("decoded_rgb", out["comp_rgb"]))
             sub = _prompt_subdir(batch)
             idx = len(per_prompt.setdefault(sub, []))
             per_prompt[sub].append(rgb)

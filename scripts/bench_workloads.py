@@ -65,7 +65,14 @@ WORKLOADS = {
             + os.environ.get("BENCH_INTERP", "Simplex"),
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
-        ]),
+        ] + ([
+            # TPU-first 8x4 table re-slice (see bench.py): same params/
+            # output width/finest res as tcnn 16x2, half the forward
+            # gather rows (measured, scripts/microbench_encode.py)
+            "system.geometry.pos_encoding_config.n_levels=8",
+            "system.geometry.pos_encoding_config.n_features_per_level=4",
+            "system.geometry.pos_encoding_config.per_level_scale=2.2081413",
+        ] if os.environ.get("BENCH_RESLICE", "1") == "1" else [])),
     # 3DConv-net + SD amortized
     "conv3d": dict(
         config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml",

@@ -215,3 +215,51 @@ def test_generative_renderer_chunked_matches_unchunked(jax_key):
             train=True, rngs={"aug": jax.random.PRNGKey(3)})
     d = float(jnp.abs(outs[0]["comp_rgb"] - outs[16]["comp_rgb"]).max())
     assert d < 1e-4
+
+
+def test_fixprompt_interpolation_dataset(prompt_library):
+    """Reference Dataset4FixPrompt parity (multiprompt.py:125-163): zero
+    noise, per-view interpolation ratio linspace(0,1), optional fixed
+    camera."""
+    DM = sd.find("multiprompt-camera-datamodule")
+    dm = DM(cfg=parse_structured(DM.Config, {
+        "batch_size": 1, "width": 8, "height": 8,
+        "eval_height": 8, "eval_width": 8, "n_val_views": 4,
+        "n_test_views": 3, "dim_gaussian": 16,
+        "prompt_library": "tiny_library",
+        "prompt_library_dir": prompt_library,
+        "eval_prompt": "a red apple",
+        "target_prompt": "a blue car",
+        "eval_fix_camera": 1}), seed=0)
+    dm.setup("validate")
+    batches = list(dm.val_dataset)
+    assert len(batches) == 4
+    ratios = [float(b["ratio"]) for b in batches]
+    assert ratios == pytest.approx([0.0, 1 / 3, 2 / 3, 1.0])
+    for b in batches:
+        assert np.allclose(b["noise"], 0.0)  # fixed-prompt eval: zero noise
+        assert b["prompt"] == ["a red apple"]
+        assert b["prompt_target"] == ["a blue car"]
+    # fixed camera: identical rays across views
+    assert np.allclose(batches[0]["rays_o"], batches[-1]["rays_o"])
+    assert np.allclose(batches[0]["rays_d"], batches[-1]["rays_d"])
+
+
+def test_amortized_prompt_interpolation_lerp(prompt_library, tmp_path):
+    """The system lerps GLOBAL embeddings ratio*emb(prompt) +
+    (1-ratio)*emb(target) (reference
+    multiprompt_radience_field_generator.py:95-98)."""
+    cls = sd.find("multiprompt-radience-field-generator-system")
+    system = cls.__new__(cls)  # skip full configure; only prepare_batch
+    P = sd.find("dummy-multi-prompt-processor")
+    system.prompt_processor = P(cfg=parse_structured(P.Config, {
+        "prompt_library": "tiny_library",
+        "prompt_library_dir": prompt_library,
+        "cache_dir": str(tmp_path / "cache")}))
+    base = {"prompt": ["a red apple"], "elevation": np.zeros(1)}
+    e_a = system.prepare_batch(dict(base))["text_embed"]
+    e_b = system.prepare_batch(
+        {"prompt": ["a blue car"]})["text_embed"]
+    mid = system.prepare_batch(dict(
+        base, prompt_target=["a blue car"], ratio=0.25))["text_embed"]
+    assert np.allclose(mid, 0.25 * e_a + 0.75 * e_b, atol=1e-6)

@@ -82,7 +82,9 @@ def _tiny_conv3d_geometry():
         "space_generator_config": {
             "z_dim": 8, "w_dim": 16, "c_dim": 12, "num_layers": 1,
             "img_resolution": 16, "img_channels": 4,
-            "channel_multiplier": 1},
+            # channel_base 16 -> genuinely tiny convs; the default 512
+            # builds 512-channel conv3ds even at 16^3 (reference pyramid)
+            "channel_base": 16, "channel_multiplier": 1},
         "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
                                "n_hidden_layers": 1,
                                "output_activation": "none"},
@@ -148,7 +150,22 @@ def test_fit_shape_init_3dconv_converges():
     must drop substantially."""
     from scaledreamer_tpu.models.geometry.stylegan_3dconv_net import \
         fit_shape_init_3dconv
-    geo = _tiny_conv3d_geometry()
+    # img_resolution 8 (vs 16 elsewhere): the fused conv3d fwd+bwd+adam
+    # program is the single most expensive XLA-CPU compile in the suite
+    # (this box has ONE core); one fewer synthesis block halves it, and
+    # convergence of the fit is resolution-independent.
+    Geo = sd.find("3DConv-net")
+    geo = Geo(cfg=parse_structured(Geo.Config, {
+        "radius": 1.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+        "normal_type": "finite_difference",
+        "space_generator_config": {
+            "z_dim": 8, "w_dim": 16, "c_dim": 12, "num_layers": 1,
+            "img_resolution": 8, "img_channels": 4,
+            "channel_base": 16, "channel_multiplier": 1},
+        "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
+                               "n_hidden_layers": 1,
+                               "output_activation": "none"},
+    }))
     # sphere shape-init without the closed-form bias
     object.__setattr__(geo.cfg, "sdf_bias", 0.0)
     object.__setattr__(geo.cfg, "shape_init", "sphere")
@@ -164,6 +181,7 @@ def test_fit_shape_init_3dconv_converges():
 
     def mse(p):
         cache = geo.apply({"params": p}, styles=z, text_embed=None,
+                          unconditional=True,
                           method=geo.generate_space_cache)
         sdf = geo.apply({"params": p}, pts, cache, method=geo.forward_sdf)
         gt = jnp.linalg.norm(pts, axis=-1, keepdims=True) - 0.5
@@ -305,3 +323,49 @@ def test_mvdream_guidance_tiny(jax_key):
     loss, grad = jax.value_and_grad(loss_fn)(rgb)
     assert np.isfinite(float(loss))
     assert np.abs(np.asarray(grad)).max() > 0
+
+def test_mapping_conditional_requires_embedding(jax_key):
+    """ADVICE r2: a text-conditioned mapping network must ERROR when the
+    embedding is missing at normal call time (silent skip of the embed
+    layer degrades training invisibly); the unconditional path is reserved
+    for the shape-init pre-fit."""
+    net = MappingNetwork(z_dim=8, c_dim=16, w_dim=32, num_ws=2, num_layers=2)
+    z = jax.random.normal(jax_key, (2, 8))
+    c = jax.random.normal(jax.random.fold_in(jax_key, 1), (2, 16))
+    params = net.init(jax_key, z, c)
+    # conditional forward works
+    net.apply(params, z, c)
+    # missing embedding without the explicit flag -> assertion
+    with pytest.raises(AssertionError):
+        net.apply(params, z, None)
+    # the shape-init fit path is explicitly unconditional
+    out = net.apply(params, z, None, unconditional=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_w_avg_frozen_under_weight_decay():
+    """ADVICE r2: w_avg is an out-of-band EMA buffer stored in params; an
+    unconditional AdamW/Adan weight decay must NOT decay it toward zero."""
+    from scaledreamer_tpu.systems.optimizers import parse_optimizer
+    params = {"geometry": {"mapping": {"w_avg": jnp.full((4,), 0.7),
+                                       "kernel": jnp.ones((4, 4))}}}
+    for opt_cfg in (
+            {"name": "AdamW", "args": {"lr": 1e-2, "weight_decay": 0.1}},
+            {"name": "AdamW", "args": {"lr": 1e-2, "weight_decay": 0.1},
+             "params": {"geometry": {}}},
+            {"name": "Adan", "args": {"lr": 1e-2, "weight_decay": 0.1}}):
+        tx = parse_optimizer(opt_cfg, params)
+        opt_state = tx.init(params)
+        grads = jax.tree.map(jnp.zeros_like, params)
+        p = params
+        for _ in range(3):
+            updates, opt_state = tx.update(grads, opt_state, p)
+            import optax
+            p = optax.apply_updates(p, updates)
+        w_avg = np.asarray(p["geometry"]["mapping"]["w_avg"])
+        assert np.allclose(w_avg, 0.7), (opt_cfg["name"], w_avg)
+        # with zero grads + weight decay, the regular kernel DOES decay
+        # (when its group is optimized), proving the transform is live
+        if "params" not in opt_cfg and opt_cfg["name"] == "AdamW":
+            k = np.asarray(p["geometry"]["mapping"]["kernel"])
+            assert not np.allclose(k, 1.0)

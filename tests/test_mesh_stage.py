@@ -358,3 +358,33 @@ def test_geometry_stage_train_step(geometry_stage_system):
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - np.asarray(b)).sum()),
                          old_geo, new_state.params["geometry"])
     assert sum(jax.tree_util.tree_leaves(diffs)) > 0
+
+
+def test_mesh_renderer_system_forces_x_grad(geometry_stage_system):
+    """ADVICE r2 (medium): mesh rasterization feeds differentiable pixel
+    positions (functions of the SDF params via marching-tets vertices) into
+    the geometry; the system must force compute_x_grad=True on the hash
+    encoding whenever the geometry trains under a mesh renderer, else the
+    image-guidance gradient to vertex positions is silently zeroed."""
+    system = geometry_stage_system
+    pec = system.geometry.cfg.pos_encoding_config
+    assert pec.get("compute_x_grad") is True
+    # the flag flows through to the built encoding config
+    from scaledreamer_tpu.ops.hashgrid import hashgrid_config_from_tcnn
+    assert hashgrid_config_from_tcnn(pec).compute_x_grad
+    # texture stage (frozen geometry) keeps the cheap default
+    cls = sd.find("scaledreamer-system")
+    cfg_dict = {
+        "stage": "texture",
+        "geometry_type": "implicit-sdf",
+        "geometry": {"radius": 1.0},
+        "material_type": "no-material",
+        "background_type": "solid-color-background",
+        "renderer_type": "mesh-rasterize-renderer",
+        "renderer": {"radius": 1.0, "isosurface_resolution": 8},
+        "guidance_type": "dummy-guidance",
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-3}},
+    }
+    tex_system = cls(cfg=parse_structured(cls.Config, cfg_dict))
+    tex_pec = tex_system.geometry.cfg.pos_encoding_config
+    assert not tex_pec.get("compute_x_grad", False)

@@ -416,3 +416,32 @@ def test_rays_intersect_bbox():
     assert far[0, 0] == pytest.approx(4.0, abs=1e-4)
     # miss: zero-length interval
     assert far[1, 0] - near[1, 0] <= 1e-5
+
+
+def test_hashgrid_f4_reslice_grad_parity():
+    """The bench's TPU-first 8x4 re-slice (wider features per level, fewer
+    levels; identical params/output-width/finest-res as tcnn 16x2): custom
+    VJP table grads must match plain-XLA autodiff for F=4 with simplex +
+    packing, in both encode and encode_with_grad."""
+    from scaledreamer_tpu.ops.hashgrid import (_encode_impl, hashgrid_encode,
+                                               hashgrid_encode_with_grad)
+    cfg = HashGridConfig(n_levels=3, n_features_per_level=4,
+                         log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=2.21, interpolation="Simplex",
+                         dense_cell_packing=True, compute_x_grad=False)
+    k = jax.random.PRNGKey(0)
+    table = jax.random.normal(k, (3, 256, 4)) * 0.1
+    x = jax.random.uniform(jax.random.fold_in(k, 1), (64, 3))
+    y = hashgrid_encode(table, x, cfg)
+    y_ref = _encode_impl(table, x, cfg, None)
+    assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-6)
+    g = jax.grad(lambda t: jnp.sum(hashgrid_encode(t, x, cfg) ** 2))(table)
+    g_ref = jax.grad(lambda t: jnp.sum(_encode_impl(t, x, cfg, None) ** 2))(
+        table)
+    assert np.allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+    # fused encode+spatial-grad path
+    enc, denc = hashgrid_encode_with_grad(table, x, cfg)
+    assert np.allclose(np.asarray(enc), np.asarray(y_ref), atol=1e-6)
+    g2 = jax.grad(lambda t: jnp.sum(
+        hashgrid_encode_with_grad(t, x, cfg)[0] ** 2))(table)
+    assert np.allclose(np.asarray(g2), np.asarray(g_ref), atol=1e-5)
