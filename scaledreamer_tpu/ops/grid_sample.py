@@ -11,6 +11,7 @@ pixels.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def _unnormalize(coord, size: int, align_corners: bool):
@@ -78,31 +79,39 @@ def grid_sample_3d(volume, grid, align_corners: bool = False):
     return out
 
 
+def _upsample_matrix(n: int, factor: int) -> np.ndarray:
+    """[n*factor, n] constant align-corners linear-interp matrix.
+
+    Each output row has <=2 nonzeros (the 1D lerp weights). Expressing the
+    axis interpolation as a matmul instead of a gather-lerp keeps both the
+    forward AND the backward on the MXU/VPU (the gather formulation's
+    backward is a scatter-add over the voxel — the per-row scatter floor on
+    TPU, and a scalar loop on the XLA:CPU AOT path used by the test relay).
+    The extra FLOPs are negligible: O(n) per output element at n<=128.
+    """
+    out_n = n * factor
+    m = np.zeros((out_n, n), np.float32)
+    if out_n == 1 or n == 1:
+        m[:, 0] = 1.0
+        return m
+    c = np.arange(out_n) * (n - 1) / (out_n - 1)
+    i0 = np.floor(c).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n - 1)
+    f = (c - i0).astype(np.float32)
+    m[np.arange(out_n), i0] += 1.0 - f
+    m[np.arange(out_n), i1] += f
+    return m
+
+
 def upsample_3d_align_corners(x, factor: int = 2):
     """Trilinear x2 upsample with align_corners=True semantics
     (reference SmoothUpsample, stylegan_3dconv_modules.py:118-125).
     x: [B, D, H, W, C]."""
     B, D, H, W, C = x.shape
-
-    def axis_coords(n):
-        out_n = n * factor
-        if out_n == 1:
-            return jnp.zeros((1,))
-        return jnp.arange(out_n) * (n - 1) / (out_n - 1)
-
-    def interp_axis(v, axis, n):
-        c = axis_coords(n)
-        i0 = jnp.floor(c).astype(jnp.int32)
-        i1 = jnp.clip(i0 + 1, 0, n - 1)
-        f = (c - i0).astype(v.dtype)
-        t0 = jnp.take(v, i0, axis=axis)
-        t1 = jnp.take(v, i1, axis=axis)
-        shape = [1] * v.ndim
-        shape[axis] = -1
-        f = f.reshape(shape)
-        return t0 * (1 - f) + t1 * f
-
-    x = interp_axis(x, 1, D)
-    x = interp_axis(x, 2, H)
-    x = interp_axis(x, 3, W)
+    md = jnp.asarray(_upsample_matrix(D, factor))
+    mh = jnp.asarray(_upsample_matrix(H, factor))
+    mw = jnp.asarray(_upsample_matrix(W, factor))
+    x = jnp.einsum("od,bdhwc->bohwc", md, x)
+    x = jnp.einsum("oh,bdhwc->bdowc", mh, x)
+    x = jnp.einsum("ow,bdhwc->bdhoc", mw, x)
     return x

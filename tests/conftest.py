@@ -27,6 +27,18 @@ try:
 except Exception:
     pass
 
+# Persistent compilation cache: some test programs (conv3d fit fwd+bwd,
+# full train steps) take minutes to compile on CPU; cache them across
+# suite runs like bench.py already does.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("SDTPU_COMPILE_CACHE",
+                       os.path.expanduser("~/.cache/sdtpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 
 @pytest.fixture
 def rng():
