@@ -80,6 +80,12 @@ def main():
             # unpacked path (exact-match tested); one gathered row/lookup
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
+            # Coarse-levels-only PROPOSAL encode (0 = reference parity):
+            # the prop density is stop_gradient'ed and only shapes the
+            # importance CDF; truncating its encode to the dense/packed
+            # levels removes most prop-pass gather rows.
+            "system.renderer.prop_encode_levels="
+            + os.environ.get("BENCH_PROP_LEVELS", "3"),
         ] + ([
             # TPU-first table RE-SLICE: 8 levels x 4 features (identical
             # param count 8*2^19*4 == 16*2^19*2, identical 32-dim output,
@@ -167,6 +173,9 @@ def main():
                 "dense_cell_packing": os.environ.get("BENCH_PACKING",
                                                      "true") == "true",
                 "train_chunk_size": int(os.environ.get("BENCH_CHUNK", "0")),
+                "prop_encode_levels": int(
+                    os.environ.get("BENCH_PROP_LEVELS", "3")),
+                "reslice_8x4": os.environ.get("BENCH_RESLICE", "1") == "1",
             },
             "rays_per_sec": round(rays_per_sec, 1),
             "samples_per_ray": S,

@@ -158,17 +158,22 @@ class HyperINGP(nn.Module):
         cache = self.generate_space_cache(styles, text_embed)
         return self(points, cache, output_normal=True)
 
-    def _encode(self, points):
+    # proposal-pass static level truncation is supported (renderer
+    # `prop_encode_levels`; see HashGridEncoding max_levels)
+    supports_prop_max_levels = True
+
+    def _encode(self, points, max_levels=None):
         pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
         B = points.shape[0]
-        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        kw = {} if max_levels is None else {"max_levels": max_levels}
+        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims), **kw)
         return enc.reshape(B, -1, enc.shape[-1])
 
-    def forward_sdf(self, points, space_cache):
+    def forward_sdf(self, points, space_cache, max_levels=None):
         """points [B, N, 3] -> sdf [B, N, 1]."""
         orig = points.shape
         points3 = points.reshape(orig[0], -1, 3)
-        enc = self._encode(points3)
+        enc = self._encode(points3, max_levels=max_levels)
         sdf = hypernet_forward(enc, space_cache["sdf_weights"])
         sdf = self.get_shifted_sdf(points3, sdf)
         return sdf.reshape(*orig[:-1], 1)

@@ -52,6 +52,14 @@ class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
         num_samples_per_ray_importance: int = 64
         train_chunk_size: int = 0
         rgb_as_latents: bool = False
+        # TPU-first quality knob (0 = reference parity): encode only the
+        # first k hash-grid levels in the PROPOSAL density pass. The prop
+        # output is stop_gradient'ed and only shapes the importance CDF,
+        # so fine levels there buy sample placement, not image content;
+        # truncating them removes 2/3 of the prop pass's gather rows (the
+        # TPU bottleneck). Requires a geometry with
+        # `supports_prop_max_levels` (Hyper-iNGP).
+        prop_encode_levels: int = 0
 
     cfg: "GenerativeSpaceVolSDFVolumeRenderer.Config"
     geometry: nn.Module
@@ -113,8 +121,12 @@ class GenerativeSpaceVolSDFVolumeRenderer(nn.Module):
                 P = t0.shape[-1]
                 tm = ((t0 + t1) / 2.0).reshape(B, nc, P, 1)
                 pos = ro[:, :, None, :] + rd[:, :, None, :] * tm
+                kw = {}
+                if (cfg.prop_encode_levels > 0 and getattr(
+                        self.geometry, "supports_prop_max_levels", False)):
+                    kw["max_levels"] = cfg.prop_encode_levels
                 sdf = self.geometry.forward_sdf(
-                    pos.reshape(B, nc * P, 3), space_cache)
+                    pos.reshape(B, nc * P, 3), space_cache, **kw)
                 return volsdf_density(sdf, inv_std).reshape(Rc, P)
 
             t_starts, t_ends = importance_sampling(

@@ -115,9 +115,31 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, level_mask: Optional[jnp.ndarray] = None,
-                 with_grad: bool = False):
+                 with_grad: bool = False, max_levels: Optional[int] = None):
         table = self.param(
             "table", lambda key: init_hashgrid(key, self.grid, self.param_dtype))
+        if max_levels is not None and 0 < max_levels < self.grid.n_levels:
+            # STATIC truncation: encode only the first `max_levels` levels
+            # (coarse) and zero-fill the fine features. Unlike level_mask
+            # (a traced multiplier — gathers still execute), this removes
+            # the fine levels' gather rows from the program entirely.
+            # Intended for proposal-pass density evals where the fine
+            # detail only perturbs sample placement (renderer
+            # `prop_encode_levels`); output width is unchanged so the
+            # downstream heads see ProgressiveBandHashGrid-style zeros.
+            import dataclasses
+            cfg_k = dataclasses.replace(self.grid, n_levels=max_levels)
+            lm = None if level_mask is None else level_mask[:max_levels]
+            if with_grad:
+                from .hashgrid import hashgrid_encode_with_grad
+                enc, denc = hashgrid_encode_with_grad(
+                    table[:max_levels], x, cfg_k, lm)
+                pad = self.grid.n_output_dims - enc.shape[-1]
+                return (jnp.pad(enc, ((0, 0), (0, pad))),
+                        jnp.pad(denc, ((0, 0), (0, 0), (0, pad))))
+            enc = hashgrid_encode(table[:max_levels], x, cfg_k, lm)
+            return jnp.pad(
+                enc, ((0, 0), (0, self.grid.n_output_dims - enc.shape[-1])))
         if with_grad:
             from .hashgrid import hashgrid_encode_with_grad
             return hashgrid_encode_with_grad(table, x, self.grid, level_mask)

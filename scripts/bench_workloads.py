@@ -5,7 +5,7 @@ for a few honest steps (per-step scalar readback; the axon relay's
 block_until_ready returns early) and prints one JSON line per row.
 
 Usage: python scripts/bench_workloads.py [row ...]
-Rows: sd_nerf mv_nerf hyper_ingp conv3d triplane (default: all)
+Rows: sd_nerf mv_nerf hyper_ingp conv3d conv3d_300k triplane (default: all)
 """
 
 from __future__ import annotations
@@ -45,9 +45,21 @@ WORKLOADS = {
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             'system.prompt_processor.prompt="a benchmark object"',
             # 4-view batch at 256 samples/ray: chunk rays to bound compile
-            # + runtime memory on the 16 GB chip
+            # + runtime memory on the 16 GB chip (unchunked still crashes
+            # the axon remote-compile helper, retried r3)
             "system.renderer.train_chunk_size="
             + os.environ.get("BENCH_CHUNK", "2048"),
+            # TPU-first encode options (measured-best, same set as the
+            # hyper_ingp row): analytic normals share the fused
+            # encode+grad; Simplex halves gather rows vs trilinear.
+            # BENCH_NORMALS=finite_difference BENCH_INTERP=Linear
+            # BENCH_PACKING=false restore reference-parity options.
+            "system.geometry.normal_type="
+            + os.environ.get("BENCH_NORMALS", "analytic"),
+            "system.geometry.pos_encoding_config.interpolation="
+            + os.environ.get("BENCH_INTERP", "Simplex"),
+            "system.geometry.pos_encoding_config.dense_cell_packing="
+            + os.environ.get("BENCH_PACKING", "true"),
         ]),
     # Hyper-iNGP + SD amortized (the north-star row; same as bench.py)
     "hyper_ingp": dict(
@@ -65,6 +77,9 @@ WORKLOADS = {
             + os.environ.get("BENCH_INTERP", "Simplex"),
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
+            # coarse-levels-only proposal encode (see bench.py; 0 = parity)
+            "system.renderer.prop_encode_levels="
+            + os.environ.get("BENCH_PROP_LEVELS", "3"),
         ] + ([
             # TPU-first 8x4 table re-slice (see bench.py): same params/
             # output width/finest res as tcnn 16x2, half the forward
@@ -78,6 +93,19 @@ WORKLOADS = {
         config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml",
         overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_conv3d",
+            "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK", "0"),
+        ]),
+    # 3DConv-net + SD at CP100k scale (channel_multiplier 2, Adan —
+    # asd_sd_3dconv_net_300k.yaml; same per-step compute as the 300k run)
+    "conv3d_300k": dict(
+        config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_300k.yaml",
+        overrides=OFFLINE + SD_OFFLINE + [
+            "tag=bench_conv3d_300k",
+            # the CP100k corpus json is a missing blob in the reference
+            # too; per-step compute is corpus-independent
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             "system.renderer.train_chunk_size="

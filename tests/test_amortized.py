@@ -263,3 +263,41 @@ def test_amortized_prompt_interpolation_lerp(prompt_library, tmp_path):
     mid = system.prepare_batch(dict(
         base, prompt_target=["a blue car"], ratio=0.25))["text_embed"]
     assert np.allclose(mid, 0.25 * e_a + 0.75 * e_b, atol=1e-6)
+
+
+def test_prop_encode_levels_render_close_to_parity(jax_key):
+    """prop_encode_levels=k truncates the PROPOSAL encode only: the final
+    render uses the full field, so images stay close to the parity render
+    (only sample placement shifts) and opacity semantics hold."""
+    Renderer = sd.find("generative-space-volsdf-volume-renderer")
+    NoMaterial = sd.find("no-material")
+    Solid = sd.find("solid-color-background")
+    geo = _mk_hyper_ingp()
+    material = NoMaterial(cfg=parse_structured(NoMaterial.Config, {}))
+    bg = Solid(cfg=parse_structured(Solid.Config, {}))
+    B, H, W = 1, 8, 8
+    rays_o = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 2.0]), (B, H, W, 3))
+    rays_d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (B, H, W, 3))
+    text = jax.random.normal(jax_key, (B, 12))
+    light = jnp.ones((B, 3))
+    outs = {}
+    for k in (0, 2):
+        cfg = parse_structured(Renderer.Config, {
+            "radius": 1.0, "num_samples_per_ray": 16,
+            "num_samples_per_ray_importance": 8, "use_volsdf": True,
+            "learned_variance_init": float(np.log(30.0) / 10.0),
+            "trainable_variance": False, "randomized": False,
+            "prop_encode_levels": k})
+        renderer = Renderer(cfg=cfg, geometry=geo, material=material,
+                            background=bg)
+        params = renderer.init(
+            {"params": jax_key}, rays_o, rays_d, light_positions=light,
+            text_embed=text, train=False)
+        outs[k] = renderer.apply(params, rays_o, rays_d,
+                                 light_positions=light, text_embed=text,
+                                 train=False)
+    # same field, same params -> center opacity still saturates
+    assert float(outs[2]["opacity"][0, H // 2, W // 2, 0]) > 0.5
+    # proposal truncation only perturbs sample placement
+    d = float(jnp.abs(outs[0]["comp_rgb"] - outs[2]["comp_rgb"]).max())
+    assert np.isfinite(d) and d < 0.15, d

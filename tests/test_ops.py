@@ -445,3 +445,31 @@ def test_hashgrid_f4_reslice_grad_parity():
     g2 = jax.grad(lambda t: jnp.sum(
         hashgrid_encode_with_grad(t, x, cfg)[0] ** 2))(table)
     assert np.allclose(np.asarray(g2), np.asarray(g_ref), atol=1e-5)
+
+
+def test_hashgrid_encoding_max_levels_truncation():
+    """HashGridEncoding(max_levels=k): the first k*F output dims match the
+    full encode exactly and the rest are zero, in both the plain and the
+    fused encode+grad paths (the renderer's prop_encode_levels knob)."""
+    from scaledreamer_tpu.ops.networks import HashGridEncoding
+    cfg = HashGridConfig(n_levels=4, n_features_per_level=2,
+                         log2_hashmap_size=8, base_resolution=4,
+                         per_level_scale=1.7)
+    enc_mod = HashGridEncoding(grid=cfg)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.fold_in(k, 1), (32, 3))
+    params = enc_mod.init(k, x)
+    full = np.asarray(enc_mod.apply(params, x))
+    kF = 2 * cfg.n_features_per_level
+    trunc = np.asarray(enc_mod.apply(params, x, max_levels=2))
+    assert trunc.shape == full.shape
+    assert np.allclose(trunc[:, :kF], full[:, :kF], atol=1e-6)
+    assert np.all(trunc[:, kF:] == 0.0)
+    enc_t, denc_t = enc_mod.apply(params, x, max_levels=2, with_grad=True)
+    enc_f, denc_f = enc_mod.apply(params, x, with_grad=True)
+    assert np.allclose(np.asarray(enc_t)[:, :kF],
+                       np.asarray(enc_f)[:, :kF], atol=1e-6)
+    assert np.all(np.asarray(enc_t)[:, kF:] == 0.0)
+    assert np.allclose(np.asarray(denc_t)[..., :kF],
+                       np.asarray(denc_f)[..., :kF], atol=1e-6)
+    assert np.all(np.asarray(denc_t)[..., kF:] == 0.0)
