@@ -36,6 +36,15 @@ WORKLOADS = {
             "tag=bench_sd_nerf",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             'system.prompt_processor.prompt="a benchmark object"',
+            # TPU-first encode options (measured-best, same set as the
+            # other rows; BENCH_NORMALS=finite_difference
+            # BENCH_INTERP=Linear BENCH_PACKING=false for parity options)
+            "system.geometry.normal_type="
+            + os.environ.get("BENCH_NORMALS", "analytic"),
+            "system.geometry.pos_encoding_config.interpolation="
+            + os.environ.get("BENCH_INTERP", "Simplex"),
+            "system.geometry.pos_encoding_config.dense_cell_packing="
+            + os.environ.get("BENCH_PACKING", "true"),
         ]),
     # single-prompt ASD-MVDream NeRF (B=4 views, 256 samples/ray)
     "mv_nerf": dict(

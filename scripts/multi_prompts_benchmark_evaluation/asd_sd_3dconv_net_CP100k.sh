@@ -1,0 +1,9 @@
+# Evaluation: render test orbits from a checkpoint then score with CLIP
+# (reference scripts/multi_prompts_benchmark_evaluation/asd_sd_3dconv_net_CP100k.sh)
+python launch.py \
+    --config configs/multi-prompt_benchmark/asd_sd_3dconv_net_300k.yaml \
+    --test \
+    system.prompt_processor.prompt_library="cap3d_100k_prompt_library" \
+    resume="outputs/asd_sd_3dconv_net_300k/LAST/ckpts/last.ckpt"
+python evaluation/CLIP/evaluation_amortized.py \
+    --result_dir "outputs/asd_sd_3dconv_net_300k/LAST/save/it0-test"

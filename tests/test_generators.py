@@ -369,3 +369,19 @@ def test_w_avg_frozen_under_weight_decay():
         if "params" not in opt_cfg and opt_cfg["name"] == "AdamW":
             k = np.asarray(p["geometry"]["mapping"]["kernel"])
             assert not np.allclose(k, 1.0)
+
+
+def test_synthesis_channel_pyramid_reference_parity():
+    """channel_base=512 (default) reproduces the reference channels_dict
+    (stylegan_3dconv_modules.py:130-138) including channel_multiplier
+    applying only above 16^3; smaller bases scale proportionally."""
+    from scaledreamer_tpu.models.geometry.conv3d_modules import \
+        SynthesisNetwork3D
+    syn = SynthesisNetwork3D(w_dim=16, img_resolution=128, img_channels=32,
+                             channel_multiplier=2)
+    ref = {4: 512, 8: 512, 16: 512, 32: 256 * 2, 64: 128 * 2, 128: 64 * 2}
+    for res, want in ref.items():
+        assert syn._channels(res) == want, (res, syn._channels(res), want)
+    tiny = SynthesisNetwork3D(w_dim=16, img_resolution=16, img_channels=4,
+                              channel_base=16)
+    assert [tiny._channels(r) for r in (4, 8, 16)] == [16, 16, 16]
