@@ -13,6 +13,11 @@ prompt sharding (SURVEY.md §2.2). TPU-native equivalents here:
   (SURVEY.md §5 "long-context"): rays are independent, the generator's
   space_cache/params are replicated, so eval scales linearly over ICI.
 
+- `make_dp_tp_mesh` / `guidance_param_shardings` (tensor.py): optional
+  ('data', 'model') mesh with the frozen diffusion prior's attention and
+  GEGLU matmuls Megatron-sharded over 'model' — per-chip HBM headroom for
+  the UNet at scale, expressed purely as GSPMD NamedShardings.
+
 Prompt-shard data parallelism lives with the data layer
 (`data/multiprompt.py` `[rank::world]`), matching the reference's placement.
 """
@@ -21,3 +26,5 @@ from .mesh import (data_sharding, make_data_mesh, replicated,  # noqa: F401
                    shard_batch)
 from .rays import (make_ray_sharded_render,  # noqa: F401
                    ray_sharded_render)
+from .tensor import (guidance_param_shardings,  # noqa: F401
+                     make_dp_tp_mesh, shard_guidance_params)
