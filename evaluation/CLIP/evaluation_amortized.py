@@ -74,6 +74,12 @@ def main():
     parser.add_argument("--batch_size", type=int, default=120)
     parser.add_argument("--model", type=str,
                         default="openai/clip-vit-large-patch14")
+    parser.add_argument(
+        "--random_init", action="store_true",
+        help="PLUMBING VALIDATION ONLY: random-initialized tiny CLIP + "
+             "hash tokenization, no downloads. Exercises the full "
+             "pipeline (walk dirs, preprocess, encode, metrics, output "
+             "files); the metric VALUES are meaningless.")
     args = parser.parse_args()
 
     import torch
@@ -88,21 +94,40 @@ def main():
         return 1
     prompt_texts = [p.replace("_", " ") for p in prompts]
 
-    try:
-        tokenizer = CLIPTokenizer.from_pretrained(args.model)
-        text_encoder = CLIPTextModelWithProjection.from_pretrained(
-            args.model).to(args.device).eval()
-        image_encoder = CLIPVisionModelWithProjection.from_pretrained(
-            args.model).to(args.device).eval()
-    except Exception as e:
-        print(f"ERROR: could not load CLIP weights ({e}). The evaluator "
-              "needs a local or cached copy of "
-              f"{args.model}.", file=sys.stderr)
-        return 2
+    if args.random_init:
+        from transformers import CLIPTextConfig, CLIPVisionConfig
+        torch.manual_seed(0)
+        text_encoder = CLIPTextModelWithProjection(CLIPTextConfig(
+            hidden_size=64, intermediate_size=128, projection_dim=32,
+            num_hidden_layers=2, num_attention_heads=4)).eval()
+        image_encoder = CLIPVisionModelWithProjection(CLIPVisionConfig(
+            hidden_size=64, intermediate_size=128, projection_dim=32,
+            num_hidden_layers=2, num_attention_heads=4,
+            image_size=224, patch_size=32)).eval()
+        # deterministic hash tokenization (no vocab files offline)
+        vocab = text_encoder.config.vocab_size
+        max_len = text_encoder.config.max_position_embeddings
+        rows = []
+        for t in prompt_texts:
+            ids = [hash(w) % (vocab - 2) + 1 for w in t.split()][:max_len]
+            rows.append(ids + [0] * (max_len - len(ids)))
+        tokens = torch.tensor(rows, dtype=torch.long)
+    else:
+        try:
+            tokenizer = CLIPTokenizer.from_pretrained(args.model)
+            text_encoder = CLIPTextModelWithProjection.from_pretrained(
+                args.model).to(args.device).eval()
+            image_encoder = CLIPVisionModelWithProjection.from_pretrained(
+                args.model).to(args.device).eval()
+        except Exception as e:
+            print(f"ERROR: could not load CLIP weights ({e}). The evaluator "
+                  "needs a local or cached copy of "
+                  f"{args.model}.", file=sys.stderr)
+            return 2
 
-    tokens = tokenizer(prompt_texts, padding="max_length",
-                       max_length=tokenizer.model_max_length,
-                       return_tensors="pt").input_ids.to(args.device)
+        tokens = tokenizer(prompt_texts, padding="max_length",
+                           max_length=tokenizer.model_max_length,
+                           return_tensors="pt").input_ids.to(args.device)
     with torch.no_grad():
         text_features = []
         for i in range(0, len(tokens), args.batch_size):

@@ -60,3 +60,36 @@ def test_metrics_recall_is_over_full_prompt_set():
     sims, recalls = ev.compute_metrics(T, feats)
     assert recalls[0] == 0.0
     assert sims[0] > 0.9  # yet cosine to its own prompt is high
+
+
+def test_evaluator_cli_end_to_end_random_init(tmp_path):
+    """Drive the full evaluator CLI (walk dirs -> preprocess -> encode ->
+    metrics -> similarity.txt/recall.txt) with --random_init: validates
+    every pipeline stage that doesn't require real CLIP weights."""
+    import subprocess
+    import sys as _sys
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    for prompt in ("a_red_apple", "a_blue_car"):
+        d = tmp_path / prompt
+        d.mkdir()
+        for i in range(3):
+            arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "evaluation", "CLIP",
+        "evaluation_amortized.py")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="")
+    r = subprocess.run(
+        [_sys.executable, script, "--result_dir", str(tmp_path),
+         "--random_init"], capture_output=True, text=True, env=env,
+        timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    sim_lines = (tmp_path / "similarity.txt").read_text().strip().split("\n")
+    rec_lines = (tmp_path / "recall.txt").read_text().strip().split("\n")
+    # 2 prompts + the average row (reference's "avgerage" spelling)
+    assert len(sim_lines) == 3 and sim_lines[-1].startswith("avgerage:")
+    assert len(rec_lines) == 3 and rec_lines[-1].startswith("avgerage:")
+    for line in sim_lines:
+        v = float(line.split(": ")[1])
+        assert -1.0 <= v <= 1.0
