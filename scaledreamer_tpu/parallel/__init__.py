@@ -25,6 +25,6 @@ Prompt-shard data parallelism lives with the data layer
 from .mesh import (data_sharding, make_data_mesh, replicated,  # noqa: F401
                    shard_batch)
 from .rays import (make_ray_sharded_render,  # noqa: F401
-                   ray_sharded_render)
+                   ray_sharded_render, shard_batch_rays)
 from .tensor import (guidance_param_shardings,  # noqa: F401
                      make_dp_tp_mesh, shard_guidance_params)

@@ -65,3 +65,36 @@ def ray_sharded_render(mesh: Mesh, chunk_fn: Callable, params, rays_o,
     """One-shot convenience wrapper around `make_ray_sharded_render`."""
     return make_ray_sharded_render(mesh, chunk_fn)(
         params, rays_o, rays_d, extra)
+
+
+def shard_batch_rays(mesh: Mesh, batch: Dict, row_axis: int = 1) -> Dict:
+    """Single-prompt TRAINING ray parallelism: shard pixel ROWS over 'data'.
+
+    The reference binds B=1 single-prompt training to one GPU (its only
+    parallel axis is the batch). On a TPU mesh the render itself is the
+    parallel resource: rays are independent, so sharding the [B, H, W, *]
+    image tensors along H partitions all per-ray geometry/render compute
+    across the mesh under plain GSPMD — no shard_map, no code change in the
+    train step. XLA all-gathers the small composited image before the
+    (replicated) guidance UNet and psums the parameter gradients, both over
+    ICI. H must be divisible by the 'data' axis size.
+
+    Non-image arrays (prompt embeddings, noise, camera scalars) replicate.
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding
+    n_data = mesh.shape["data"]
+    repl = NamedSharding(mesh, P())
+    spec_rows = [None] * (row_axis + 1)
+    spec_rows[row_axis] = "data"
+    rows_s = NamedSharding(mesh, P(*spec_rows))
+    ray_keys = ("rays_o", "rays_d")
+    out = {}
+    for k, v in batch.items():
+        if not isinstance(v, (np.ndarray, _jax.Array)):
+            continue
+        arr = np.asarray(v)
+        shard_rows = (k in ray_keys and arr.ndim > row_axis + 1
+                      and arr.shape[row_axis] % n_data == 0)
+        out[k] = _jax.device_put(arr, rows_s if shard_rows else repl)
+    return out

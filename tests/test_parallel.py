@@ -295,3 +295,42 @@ def test_tensor_parallel_unet_step_matches_dp():
     loss_tp = float(np.asarray(metrics_tp["loss"]))
     assert np.isfinite(loss_tp)
     assert loss_tp == pytest.approx(loss_r, rel=2e-3), (loss_tp, loss_r)
+
+
+def test_training_ray_sharding_single_prompt_matches_replicated():
+    """shard_batch_rays: B=1 single-prompt TRAINING with pixel rows sharded
+    over 'data' (plain GSPMD, no shard_map) reproduces the replicated-run
+    loss — the TPU answer to the reference's one-GPU-per-prompt limit."""
+    from scaledreamer_tpu.parallel import make_data_mesh, replicated
+    from scaledreamer_tpu.parallel.rays import shard_batch_rays
+
+    cpus = jax.devices("cpu")
+    mesh = make_data_mesh(cpus[:8])
+    system = _tiny_amortized_system()
+    rng = jax.random.PRNGKey(0)
+    system.on_fit_start(rng)
+    batch = _batch(system, B=1, H=8, W=8)  # H divisible by 8 devices
+    state = system.init_state(rng, batch)
+    state_h = jax.tree.map(np.asarray, state)
+    gp = system.guidance_params
+    scalars = system.schedule_scalars(0, 0)
+    train_step = system.make_train_step(mesh=None)
+    repl = replicated(mesh)
+
+    # replicated reference
+    jb_r = {k: jax.device_put(np.asarray(v), repl) for k, v in batch.items()
+            if isinstance(v, (np.ndarray, jax.Array))}
+    _, m_r = train_step(jax.device_put(state_h, repl),
+                        jax.device_put(gp, repl), jb_r, scalars, rng)
+    loss_r = float(np.asarray(m_r["loss"]))
+
+    # pixel rows sharded over 'data'
+    jb_s = shard_batch_rays(mesh, batch)
+    ro = jb_s["rays_o"]
+    assert {s.data.shape for s in ro.addressable_shards} == \
+        {(1, 1) + ro.shape[2:]}
+    _, m_s = train_step(jax.device_put(state_h, repl),
+                        jax.device_put(gp, repl), jb_s, scalars, rng)
+    loss_s = float(np.asarray(m_s["loss"]))
+    assert np.isfinite(loss_s)
+    assert loss_s == pytest.approx(loss_r, rel=2e-3), (loss_s, loss_r)
