@@ -117,10 +117,13 @@ class MappingNetwork(nn.Module):
 
 
 def modulated_conv3d(x, weight, styles, padding: int = 0,
-                     demodulate: bool = True):
+                     demodulate: bool = True, compute_dtype=None):
     """Per-sample style-modulated conv3d (stylegan_3dconv_modules.py:64-83).
 
     x: [B, D, H, W, I] NDHWC; weight: [O, I, kd, kh, kw]; styles: [B, I].
+    compute_dtype (e.g. bf16): the CONV runs in that dtype (MXU-native on
+    TPU) while modulation + demodulation stay f32 (the rsqrt normalization
+    is precision-sensitive); output is cast back to the input dtype.
     """
     B = x.shape[0]
     O, I, kd, kh, kw = weight.shape
@@ -130,6 +133,10 @@ def modulated_conv3d(x, weight, styles, padding: int = 0,
         w = w * d.reshape(B, O, 1, 1, 1, 1)
     # DHWIO kernel layout per sample
     w = jnp.transpose(w, (0, 3, 4, 5, 2, 1))  # [B, kd, kh, kw, I, O]
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
 
     def conv_one(xi, wi):
         return jax.lax.conv_general_dilated(
@@ -137,7 +144,7 @@ def modulated_conv3d(x, weight, styles, padding: int = 0,
             padding=[(padding, padding)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))[0]
 
-    return jax.vmap(conv_one)(x, w)
+    return jax.vmap(conv_one)(x, w).astype(out_dtype)
 
 
 class SynthesisLayer(nn.Module):
@@ -150,6 +157,7 @@ class SynthesisLayer(nn.Module):
     kernel_size: int = 3
     upsample: bool = False
     activation: str = "lrelu"
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, w, noise_mode: str = "random", gain: float = 1.0):
@@ -164,7 +172,8 @@ class SynthesisLayer(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
 
         x = modulated_conv3d(x, weight, styles,
-                             padding=self.kernel_size // 2)
+                             padding=self.kernel_size // 2,
+                             compute_dtype=self.conv_dtype)
         if self.upsample:
             x = upsample_3d_align_corners(x, 2)
         if noise_mode == "random" and self.has_rng("noise"):
@@ -184,6 +193,7 @@ class ToRGBLayer(nn.Module):
     out_channels: int
     w_dim: int
     kernel_size: int = 1
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, w):
@@ -195,7 +205,8 @@ class ToRGBLayer(nn.Module):
             (self.out_channels, self.in_channels,
              self.kernel_size, self.kernel_size, self.kernel_size))
         bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        x = modulated_conv3d(x, weight, styles, demodulate=False)
+        x = modulated_conv3d(x, weight, styles, demodulate=False,
+                             compute_dtype=self.conv_dtype)
         return x + bias
 
 
@@ -206,6 +217,7 @@ class SynthesisPrologue(nn.Module):
     w_dim: int
     resolution: int
     img_channels: int
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, ws, noise_mode="random"):
@@ -217,8 +229,10 @@ class SynthesisPrologue(nn.Module):
         x = jnp.broadcast_to(const[None], (B, *const.shape))
         x = SynthesisLayer(self.out_channels, self.out_channels,
                            self.w_dim, self.resolution,
+                           conv_dtype=self.conv_dtype,
                            name="conv1")(x, ws[:, 0], noise_mode)
         img = ToRGBLayer(self.out_channels, self.img_channels, self.w_dim,
+                         conv_dtype=self.conv_dtype,
                          name="torgb")(x, ws[:, 1])
         return x, img
 
@@ -232,11 +246,13 @@ class SynthesisBlock(nn.Module):
     resolution: int
     img_channels: int
     use_const_bias: bool = False
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, img, ws, noise_mode="random"):
         x = SynthesisLayer(self.in_channels, self.out_channels, self.w_dim,
                            self.resolution, upsample=True,
+                           conv_dtype=self.conv_dtype,
                            name="conv0")(x, ws[:, 0], noise_mode)
         if self.use_const_bias:
             const_bias = self.param(
@@ -247,9 +263,10 @@ class SynthesisBlock(nn.Module):
                  self.out_channels))
             x = x + const_bias[None]
         x = SynthesisLayer(self.out_channels, self.out_channels, self.w_dim,
-                           self.resolution, name="conv1")(x, ws[:, 1],
-                                                          noise_mode)
+                           self.resolution, conv_dtype=self.conv_dtype,
+                           name="conv1")(x, ws[:, 1], noise_mode)
         y = ToRGBLayer(self.out_channels, self.img_channels, self.w_dim,
+                       conv_dtype=self.conv_dtype,
                        name="torgb")(x, ws[:, 2])
         img = upsample_3d_align_corners(img, 2) + y
         return x, img
@@ -262,6 +279,8 @@ class SynthesisNetwork3D(nn.Module):
     img_channels: int
     channel_multiplier: int = 1
     bias_resolution: int = 64
+    # bf16 conv compute (MXU-native; modulation/demod stay f32); None = f32
+    conv_dtype: Optional[str] = None
     # Proportional scale of the reference channel pyramid (512 -> parity
     # with stylegan_3dconv_modules.py:130-138). Tests shrink this so
     # "tiny" conv3d nets are actually tiny — with the default, even a 8^3
@@ -286,8 +305,8 @@ class SynthesisNetwork3D(nn.Module):
         res0 = self.block_resolutions[0]
         x, img = SynthesisPrologue(
             self._channels(res0), w_dim=self.w_dim, resolution=res0,
-            img_channels=self.img_channels, name="first_block")(
-            ws[:, 0:2], noise_mode)
+            img_channels=self.img_channels, conv_dtype=self.conv_dtype,
+            name="first_block")(ws[:, 0:2], noise_mode)
         w_idx = 1
         for i, res in enumerate(self.block_resolutions[1:]):
             block = SynthesisBlock(
@@ -295,6 +314,7 @@ class SynthesisNetwork3D(nn.Module):
                 w_dim=self.w_dim, resolution=res,
                 img_channels=self.img_channels,
                 use_const_bias=res <= self.bias_resolution,
+                conv_dtype=self.conv_dtype,
                 name=f"blocks_{i}")
             x, img = block(x, img, ws[:, 2 * w_idx - 1: 2 * w_idx + 2],
                            noise_mode)
@@ -313,6 +333,7 @@ class Generator3D(nn.Module):
     channel_multiplier: int = 1
     bias_resolution: int = 64
     channel_base: int = 512
+    conv_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, z, c=None, truncation_psi=1.0,
@@ -323,7 +344,8 @@ class Generator3D(nn.Module):
             img_channels=self.img_channels,
             channel_multiplier=self.channel_multiplier,
             bias_resolution=self.bias_resolution,
-            channel_base=self.channel_base, name="synthesis")
+            channel_base=self.channel_base, conv_dtype=self.conv_dtype,
+            name="synthesis")
         mapping = MappingNetwork(
             z_dim=self.z_dim, c_dim=self.c_dim, w_dim=self.w_dim,
             num_ws=synthesis.num_ws, num_layers=self.num_layers,

@@ -59,7 +59,9 @@ class Voxel3DSdf(nn.Module):
             img_resolution=g.get("img_resolution", 128),
             img_channels=g.get("img_channels", 32),
             channel_multiplier=g.get("channel_multiplier", 1),
-            channel_base=g.get("channel_base", 512))
+            channel_base=g.get("channel_base", 512),
+            conv_dtype=({"bfloat16": jnp.bfloat16,
+                         "float32": None}[g.get("conv_dtype", "float32")]))
         in_dim = g.get("img_channels", 32)
         self.sdf_network = get_mlp(1, self.cfg.mlp_network_config)
         if self.cfg.n_feature_dims > 0:

@@ -385,3 +385,43 @@ def test_synthesis_channel_pyramid_reference_parity():
     tiny = SynthesisNetwork3D(w_dim=16, img_resolution=16, img_channels=4,
                               channel_base=16)
     assert [tiny._channels(r) for r in (4, 8, 16)] == [16, 16, 16]
+
+
+def test_conv3d_bf16_compute_close_to_f32(jax_key):
+    """space_generator_config.conv_dtype=bfloat16: conv compute drops to
+    bf16 (MXU-native) while modulation/demod stay f32 — outputs must stay
+    close to the f32 reference (mixed-precision contract)."""
+    def build(dtype):
+        Geo = sd.find("3DConv-net")
+        return Geo(cfg=parse_structured(Geo.Config, {
+            "radius": 1.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+            "normal_type": "finite_difference",
+            "space_generator_config": {
+                "z_dim": 8, "w_dim": 16, "c_dim": 12, "num_layers": 1,
+                "img_resolution": 8, "img_channels": 4,
+                "channel_base": 16, "channel_multiplier": 1,
+                "conv_dtype": dtype},
+            "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
+                                   "n_hidden_layers": 1,
+                                   "output_activation": "none"},
+        }))
+    z = jax.random.normal(jax_key, (2, 8))
+    text = jax.random.normal(jax.random.PRNGKey(1), (2, 12))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 3),
+                             minval=-1, maxval=1)
+    geo32 = build("float32")
+    params = geo32.init(
+        {"params": jax_key, "noise": jax.random.PRNGKey(3)},
+        pts, text, styles=z, method=geo32.init_all)
+    geo16 = build("bfloat16")
+    outs = {}
+    for name, geo in (("f32", geo32), ("bf16", geo16)):
+        cache = geo.apply(params, styles=z, text_embed=text,
+                          method=geo.generate_space_cache,
+                          rngs={"noise": jax.random.PRNGKey(4)})
+        assert cache["voxel"].dtype == jnp.float32  # cast back at the edges
+        outs[name] = np.asarray(
+            geo.apply(params, pts, cache)["sdf"])
+    err = np.abs(outs["bf16"] - outs["f32"]).max()
+    scale = np.abs(outs["f32"]).max() + 1e-6
+    assert err / scale < 0.05, (err, scale)
