@@ -35,14 +35,15 @@ class MHAttention(nn.Module):
     """diffusers.Attention equivalent: bias-free qkv, out proj with bias."""
     query_dim: int
     heads: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, context=None):
         context = x if context is None else context
         d = self.query_dim
-        q = nn.Dense(d, use_bias=False, name="to_q")(x)
-        k = nn.Dense(d, use_bias=False, name="to_k")(context)
-        v = nn.Dense(d, use_bias=False, name="to_v")(context)
+        q = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(d, use_bias=False, dtype=self.dtype, name="to_v")(context)
         B, L, _ = q.shape
         S = k.shape[1]
         hd = d // self.heads
@@ -52,8 +53,9 @@ class MHAttention(nn.Module):
         attn = jnp.einsum("blhd,bshd->bhls", q, k,
                           preferred_element_type=jnp.float32) / jnp.sqrt(hd)
         attn = jax.nn.softmax(attn, axis=-1)
+        attn = attn.astype(v.dtype)
         out = jnp.einsum("bhls,bshd->blhd", attn, v).reshape(B, L, d)
-        return nn.Dense(d, name="to_out")(out)
+        return nn.Dense(d, dtype=self.dtype, name="to_out")(out)
 
 
 class ConditionModulationBlock(nn.Module):
@@ -62,19 +64,21 @@ class ConditionModulationBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
         h = nn.LayerNorm(epsilon=self.eps, name="norm1")(x)
-        x = x + MHAttention(self.inner_dim, self.num_heads,
+        x = x + MHAttention(self.inner_dim, self.num_heads, dtype=self.dtype,
                             name="cross_attn")(h, cond)
         h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
-        x = x + MHAttention(self.inner_dim, self.num_heads,
+        x = x + MHAttention(self.inner_dim, self.num_heads, dtype=self.dtype,
                             name="self_attn")(h)
         h = nn.LayerNorm(epsilon=self.eps, name="norm3")(x)
-        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), name="mlp_0")(h)
+        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_0")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.inner_dim, name="mlp_1")(h)
+        h = nn.Dense(self.inner_dim, dtype=self.dtype, name="mlp_1")(h)
         return x + h
 
 
@@ -84,18 +88,20 @@ class ConditionModulationBlockWoCrossAttn(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     eps: float = 1e-6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, cond):
         x = jnp.concatenate([cond, x], axis=1)
         h = nn.LayerNorm(epsilon=self.eps, name="norm2")(x)
-        x = x + MHAttention(self.inner_dim, self.num_heads,
+        x = x + MHAttention(self.inner_dim, self.num_heads, dtype=self.dtype,
                             name="self_attn")(h)
         h = nn.LayerNorm(epsilon=self.eps, name="norm3")(x)
         h = nn.gelu(h)
-        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), name="mlp_0")(h)
+        h = nn.Dense(int(self.inner_dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_0")(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.inner_dim, name="mlp_1")(h)
+        h = nn.Dense(self.inner_dim, dtype=self.dtype, name="mlp_1")(h)
         x = x + h
         return x[:, cond.shape[1]:, :]
 
@@ -113,6 +119,8 @@ class TriplaneTransformer(nn.Module):
     local_text: bool = False
     mlp_ratio: float = 4.0
     eps: float = 1e-6
+    # bf16 attention/MLP compute (params and LayerNorms stay f32)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, text_embed):
@@ -134,6 +142,7 @@ class TriplaneTransformer(nn.Module):
         for i in range(self.num_layers):
             x = nn.remat(Block)(self.inner_dim, self.num_heads,
                                 self.mlp_ratio, self.eps,
+                                dtype=self.dtype,
                                 name=f"layers_{i}")(x, cond)
         x = nn.LayerNorm(epsilon=self.eps, name="norm")(x)
         # [N, 3, H, W, D] -> deconv x2 per plane
@@ -187,7 +196,9 @@ class TriplaneTransformerSDF(nn.Module):
             num_layers=g.get("num_layers", 12),
             num_heads=g.get("num_heads", 16),
             local_text=g.get("local_text", False),
-            mlp_ratio=float(g.get("mlp_ratio", 4)))
+            mlp_ratio=float(g.get("mlp_ratio", 4)),
+            dtype=({"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+                g.get("dtype", "float32")]))
         self.sdf_network = get_mlp(1, self.cfg.mlp_network_config)
         if self.cfg.n_feature_dims > 0:
             self.feature_network = get_mlp(

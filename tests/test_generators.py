@@ -425,3 +425,39 @@ def test_conv3d_bf16_compute_close_to_f32(jax_key):
     err = np.abs(outs["bf16"] - outs["f32"]).max()
     scale = np.abs(outs["f32"]).max() + 1e-6
     assert err / scale < 0.05, (err, scale)
+
+
+def test_triplane_bf16_compute_close_to_f32(jax_key):
+    """space_generator_config.dtype=bfloat16 runs the transformer's
+    attention/MLP matmuls in bf16 (LayerNorms + params stay f32); outputs
+    must stay close to the f32 reference."""
+    def build(dtype):
+        Geo = sd.find("Triplane-transformer-sdf")
+        return Geo(cfg=parse_structured(Geo.Config, {
+            "radius": 1.0, "sdf_bias": "sphere", "sdf_bias_params": 0.5,
+            "normal_type": "finite_difference",
+            "space_generator_config": {
+                "inner_dim": 32, "condition_dim": 24, "triplane_low_res": 4,
+                "triplane_high_res": 8, "triplane_dim": 6, "num_layers": 2,
+                "num_heads": 4, "local_text": False, "mlp_ratio": 2,
+                "dtype": dtype},
+            "mlp_network_config": {"otype": "VanillaMLP", "n_neurons": 8,
+                                   "n_hidden_layers": 2,
+                                   "output_activation": "none"},
+        }))
+    text = jax.random.normal(jax_key, (2, 24))
+    pts = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 3),
+                             minval=-1, maxval=1)
+    geo32 = build("float32")
+    params = geo32.init(jax_key, pts, text, method=geo32.init_all)
+    geo16 = build("bfloat16")
+    outs = {}
+    for name, geo in (("f32", geo32), ("bf16", geo16)):
+        cache = geo.apply(params, text_embed=text,
+                          method=geo.generate_space_cache)
+        planes = jax.tree.leaves(cache)[0]
+        assert planes.dtype == jnp.float32
+        outs[name] = np.asarray(geo.apply(params, pts, cache)["sdf"])
+    err = np.abs(outs["bf16"] - outs["f32"]).max()
+    scale = np.abs(outs["f32"]).max() + 1e-6
+    assert err / scale < 0.05, (err, scale)
