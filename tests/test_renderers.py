@@ -219,3 +219,41 @@ def test_nerf_renderer_chunked_matches_unchunked():
             rngs={"aug": jax.random.PRNGKey(2)})
     d = float(jnp.abs(outs[0]["comp_rgb"] - outs[64]["comp_rgb"]).max())
     assert d < 1e-5
+
+
+def test_patch_renderer_train_and_eval():
+    """patch-renderer parity (reference patch_renderer.py:15-106): train
+    returns a FULL-res image (upsampled global pass with the random
+    full-res patch spliced in); eval passes straight through."""
+    Renderer = sd.find("patch-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "patch_size": 4, "global_downsample": 2, "radius": 1.0,
+        "base_renderer_type": "nerf-volume-renderer",
+        "base_renderer": {"radius": 1.0, "num_samples_per_ray": 16,
+                          "estimator": "importance",
+                          "num_samples_per_ray_importance": 8,
+                          "randomized": False}})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch()
+    B, H, W = rays_o.shape[:3]
+    params = renderer.init(
+        {"params": jax.random.PRNGKey(0),
+         "sampling": jax.random.PRNGKey(1)}, rays_o, rays_d, train=False)
+    out_tr = renderer.apply(params, rays_o, rays_d, train=True,
+                            rngs={"sampling": jax.random.PRNGKey(2)})
+    assert out_tr["comp_rgb"].shape == (B, H, W, 3)
+    assert np.isfinite(np.asarray(out_tr["comp_rgb"])).all()
+    assert out_tr["opacity"].shape == (B, H, W, 1)
+    out_ev = renderer.apply(params, rays_o, rays_d, train=False)
+    assert out_ev["comp_rgb"].shape == (B, H, W, 3)
+    # the eval path is the base renderer verbatim
+    Base = sd.find("nerf-volume-renderer")
+    base = Base(cfg=parse_structured(Base.Config, cfg.base_renderer),
+                geometry=AnalyticSphereDensity(), material=material,
+                background=background)
+    bp = base.init(jax.random.PRNGKey(0), rays_o, rays_d, train=False)
+    out_base = base.apply(bp, rays_o, rays_d, train=False)
+    assert np.allclose(np.asarray(out_ev["comp_rgb"]),
+                       np.asarray(out_base["comp_rgb"]), atol=1e-5)
