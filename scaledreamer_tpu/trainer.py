@@ -52,6 +52,12 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     occ_update_interval: int = 16
     strategy: str = ""
+    # multi-device batch semantics: "batch" multiplies the per-device
+    # batch over the data mesh (reference DDP); "rays" keeps the global
+    # batch and shards PIXEL ROWS over the mesh instead — the TPU-native
+    # way to scale a B=1 single-prompt run (rays are independent; image
+    # height must divide the device count).
+    data_parallel_mode: str = "batch"
     check_val_every_n_epoch: Optional[int] = None
     limit_val_batches: Optional[int] = None
 
@@ -114,14 +120,21 @@ class Trainer:
         # sampler produces n_devices x batch_size cameras per step
         mesh = None
         n_dev = jax.local_device_count()
+        ray_parallel = self.cfg.data_parallel_mode == "rays"
         if n_dev > 1:
             from .parallel import make_data_mesh
             mesh = make_data_mesh()
-            if hasattr(dataset, "batch_sizes"):
-                dataset.batch_sizes = [b * n_dev for b in dataset.batch_sizes]
-                dataset.batch_size = dataset.batch_sizes[0]
-            logger.info("Data-parallel over %d devices (global batch %s)",
-                        n_dev, getattr(dataset, "batch_size", "?"))
+            if ray_parallel:
+                logger.info("Ray-parallel over %d devices (pixel rows "
+                            "sharded; global batch unchanged)", n_dev)
+            else:
+                if hasattr(dataset, "batch_sizes"):
+                    dataset.batch_sizes = [b * n_dev
+                                           for b in dataset.batch_sizes]
+                    dataset.batch_size = dataset.batch_sizes[0]
+                logger.info("Data-parallel over %d devices (global batch "
+                            "%s)", n_dev,
+                            getattr(dataset, "batch_size", "?"))
 
         update_if_possible(dataset, 0, self.global_step)
         batch = self.dm.train_batch()
@@ -168,8 +181,12 @@ class Trainer:
                 state = occ_update(state, jax.random.fold_in(step_rng, 7))
 
             if mesh is not None:
-                from .parallel import shard_batch
-                jb = shard_batch(mesh, batch, shape[0])
+                if ray_parallel:
+                    from .parallel import shard_batch_rays
+                    jb = shard_batch_rays(mesh, batch)
+                else:
+                    from .parallel import shard_batch
+                    jb = shard_batch(mesh, batch, shape[0])
             else:
                 jb = {k: v for k, v in batch.items()
                       if isinstance(v, (np.ndarray, jax.Array))}

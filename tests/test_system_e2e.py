@@ -198,3 +198,37 @@ def test_training_with_simplex_interpolation(tmp_path):
     # 8 steps is too short for monotonicity; finite + bounded is the bar
     assert np.isfinite(losses).all()
     assert losses[-1] < 500.0
+
+
+def test_trainer_ray_parallel_mode(tmp_path):
+    """trainer.data_parallel_mode='rays': B stays global, pixel rows shard
+    over the 8-device CPU mesh, training runs and the loss is finite."""
+    import copy
+    cfg = copy.deepcopy(SMOKE_CONFIG)
+    cfg["exp_root_dir"] = str(tmp_path / "outputs")
+    cfg["name"] = "smoke_rays"
+    cfg["data"]["batch_size"] = 1
+    cfg["data"]["width"] = cfg["data"]["height"] = 16  # 16 rows / 8 devs
+    cfg["system"]["prompt_processor"] = {
+        **cfg["system"]["prompt_processor"],
+        "cache_dir": str(tmp_path / "cache")}
+    cfg["trainer"] = dict(cfg["trainer"], max_steps=3,
+                          data_parallel_mode="rays")
+    cfg_path = tmp_path / "smoke_rays.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_cfg = load_config(str(cfg_path), cli_args=[], n_gpus=1)
+    dm_cls = sd.find(exp_cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, exp_cfg.data), seed=0)
+    system_cls = sd.find(exp_cfg.system_type)
+    system = system_cls(
+        cfg=parse_structured(system_cls.Config, exp_cfg.system))
+    trainer = Trainer(system, dm, exp_cfg.trainer, exp_cfg.checkpoint,
+                      exp_cfg.trial_dir, seed=0)
+    state = trainer.fit()
+    # global batch NOT multiplied by the device count
+    assert dm.train_dataset.batch_size == 1
+    import csv as _csv
+    with open(trainer._csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    assert rows and np.isfinite(float(rows[-1]["loss"]))
