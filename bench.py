@@ -20,6 +20,7 @@ measured value when one exists.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -29,6 +30,41 @@ os.environ.setdefault("SDTPU_BENCH", "1")
 os.environ.setdefault("SDTPU_REMAT_RENDERER", "0")
 
 ESTIMATED_A100_ITERS_PER_SEC = 4.0  # unpublished; see BASELINE.md
+
+
+def _emit(obj) -> None:
+    """The one JSON line the driver parses."""
+    print(json.dumps(obj), flush=True)
+
+
+def _emit_error(reason: str, detail: str = "") -> None:
+    _emit({"metric": "asd_iters_per_sec", "value": 0.0, "unit": "it/s",
+           "vs_baseline": 0.0, "error": reason,
+           "detail": {"note": detail[:2000]}})
+
+
+def _probe_backend(timeout_s: float) -> str:
+    """Check device availability in a SUBPROCESS.
+
+    A dead axon relay tunnel hangs the TPU client init inside the calling
+    process (no exception to catch, round-3 postmortem), so the only safe
+    probe is an expendable child with a wall-clock bound. Returns the
+    platform name ('tpu'/'cpu') or raises RuntimeError.
+    """
+    code = ("import jax; d = jax.devices(); "
+            "print('PLATFORM:' + d[0].platform)")
+    try:
+        p = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        raise RuntimeError("backend probe timed out "
+                           f"after {timeout_s:.0f}s (dead relay tunnel?)")
+    for line in (p.stdout or "").splitlines():
+        if line.startswith("PLATFORM:"):
+            return line.split(":", 1)[1]
+    raise RuntimeError("backend probe failed rc={}: {}".format(
+        p.returncode, (p.stderr or "").strip()[-500:]))
 
 
 def main():
@@ -61,6 +97,10 @@ def main():
             "tag=bench",
             "exp_root_dir=outputs/_bench",
             "trainer.max_steps=1",
+            # BENCH_B=4 measures the per-chip PROMPT throughput story
+            # (BASELINE.md: "throughput via batch"); default 1 = reference
+            # workload parity
+            "data.batch_size=" + os.environ.get("BENCH_B", "1"),
             # unchunked fits on the 16 GB v5e once the x-grad path and
             # packing shrink the encode transients (0.285 -> 0.298 it/s)
             "system.renderer.train_chunk_size="
@@ -160,6 +200,8 @@ def main():
     S = (cfg.system["renderer"]["num_samples_per_ray"]
          + cfg.system["renderer"]["num_samples_per_ray_importance"])
     rays_per_sec = iters_per_sec * B * H * W
+    # per-chip prompt throughput: amortized training sees B prompts/step
+    prompt_steps_per_sec = iters_per_sec * B
 
     result = {
         "metric": "asd_iters_per_sec",
@@ -178,6 +220,8 @@ def main():
                 "reslice_8x4": os.environ.get("BENCH_RESLICE", "1") == "1",
             },
             "rays_per_sec": round(rays_per_sec, 1),
+            "batch_size": int(B),
+            "prompt_steps_per_sec": round(prompt_steps_per_sec, 4),
             "samples_per_ray": S,
             "steps_timed": n_steps,
             "sync_iters_per_sec": round(sync_iters_per_sec, 4),
@@ -189,9 +233,38 @@ def main():
             "note": "random-init diffusion weights; loss not meaningful",
         },
     }
-    print(json.dumps(result))
+    _emit(result)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # Probe the backend OUT OF PROCESS first: a dead axon tunnel hangs the
+    # in-process client init with no exception to catch. One bounded retry
+    # with backoff, then a structured-error JSON line (never a raw
+    # traceback) so the driver always records a parsable result.
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    platform = None
+    probe_err = ""
+    for attempt in range(2):
+        try:
+            platform = _probe_backend(probe_timeout)
+            break
+        except RuntimeError as e:
+            probe_err = str(e)
+            print(f"bench: backend probe attempt {attempt + 1} failed: "
+                  f"{probe_err}", file=sys.stderr, flush=True)
+            if attempt == 0:
+                time.sleep(float(os.environ.get("BENCH_PROBE_BACKOFF",
+                                                "30")))
+    if platform is None:
+        _emit_error("tpu_unavailable", probe_err)
+        sys.exit(0)
+    print(f"bench: backend probe OK, platform={platform}",
+          file=sys.stderr, flush=True)
+    try:
+        sys.exit(main())
+    except Exception as e:  # structured error beats a raw traceback
+        import traceback
+        traceback.print_exc()
+        _emit_error(type(e).__name__, str(e))
+        sys.exit(0)

@@ -104,12 +104,16 @@ def main():
             hidden_size=64, intermediate_size=128, projection_dim=32,
             num_hidden_layers=2, num_attention_heads=4,
             image_size=224, patch_size=32)).eval()
-        # deterministic hash tokenization (no vocab files offline)
+        # deterministic hash tokenization (no vocab files offline);
+        # crc32, NOT builtin hash() — the latter is salted per process
+        # (PYTHONHASHSEED) and would change token ids between runs
+        import zlib
         vocab = text_encoder.config.vocab_size
         max_len = text_encoder.config.max_position_embeddings
         rows = []
         for t in prompt_texts:
-            ids = [hash(w) % (vocab - 2) + 1 for w in t.split()][:max_len]
+            ids = [zlib.crc32(w.encode("utf-8")) % (vocab - 2) + 1
+                   for w in t.split()][:max_len]
             rows.append(ids + [0] * (max_len - len(ids)))
         tokens = torch.tensor(rows, dtype=torch.long)
     else:

@@ -90,11 +90,21 @@ def shard_batch_rays(mesh: Mesh, batch: Dict, row_axis: int = 1) -> Dict:
     rows_s = NamedSharding(mesh, P(*spec_rows))
     ray_keys = ("rays_o", "rays_d")
     out = {}
+    any_sharded = False
     for k, v in batch.items():
         if not isinstance(v, (np.ndarray, _jax.Array)):
             continue
         arr = np.asarray(v)
         shard_rows = (k in ray_keys and arr.ndim > row_axis + 1
                       and arr.shape[row_axis] % n_data == 0)
+        any_sharded = any_sharded or shard_rows
         out[k] = _jax.device_put(arr, rows_s if shard_rows else repl)
+    if not any_sharded:
+        import logging
+        shapes = {k: tuple(np.asarray(batch[k]).shape)
+                  for k in ray_keys if k in batch}
+        logging.getLogger(__name__).warning(
+            "shard_batch_rays: ray row count is not divisible by the "
+            "'data' axis (%d) — rays REPLICATED, zero ray parallelism "
+            "this step (shapes: %s)", n_data, shapes)
     return out

@@ -119,7 +119,8 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
                 params["geometry"] = fit_shape_init_3dconv(
                     self.geometry, params["geometry"], n_steps=n_fit)
         from .optimizers import parse_optimizer
-        tx = parse_optimizer(self.cfg.optimizer, params)
+        tx = parse_optimizer(self.cfg.optimizer, params,
+                             scheduler_cfg=self.cfg.scheduler)
         accum = int(getattr(self, "grad_accum", 1))
         if accum > 1:
             import optax as _optax

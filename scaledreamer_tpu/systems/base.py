@@ -114,7 +114,15 @@ class BaseLift3DSystem(BaseObject):
             # geometry, so the cheap path stays legal there).
             import dataclasses as _dc
             pec = dict(geo_parsed.pos_encoding_config or {})
-            pec.setdefault("compute_x_grad", True)
+            if pec.get("compute_x_grad") is False:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "pos_encoding_config.compute_x_grad=false is overridden "
+                    "to true: stage %r renders a trainable geometry through "
+                    "mesh rasterization, where query positions carry the "
+                    "image-guidance gradient to the vertices.",
+                    self.cfg.stage)
+            pec["compute_x_grad"] = True
             geo_parsed = _dc.replace(geo_parsed, pos_encoding_config=pec)
         self.geometry = geo_cls(cfg=geo_parsed)
         self.material = mat_cls(
@@ -173,7 +181,8 @@ class BaseLift3DSystem(BaseObject):
         if self.cfg.geometry_convert_from:
             params = self.convert_geometry(params,
                                            self.cfg.geometry_convert_from)
-        tx = parse_optimizer(self.cfg.optimizer, params)
+        tx = parse_optimizer(self.cfg.optimizer, params,
+                             scheduler_cfg=self.cfg.scheduler)
         accum = int(getattr(self, "grad_accum", 1))
         if accum > 1:
             # trainer.accumulate_grad_batches parity (reference configs use

@@ -27,11 +27,14 @@ class AdanState(NamedTuple):
     prev_grad: Any
 
 
-def adan(learning_rate: float, b1: float = 0.98, b2: float = 0.92,
+def adan(learning_rate, b1: float = 0.98, b2: float = 0.92,
          b3: float = 0.99, eps: float = 1e-8,
          weight_decay: float = 0.0) -> optax.GradientTransformation:
     """Adan (Xie et al. 2022), matching the reference's single-tensor math
-    (threestudio/systems/optimizers.py:152-254, no_prox=False)."""
+    (threestudio/systems/optimizers.py:152-254, no_prox=False).
+
+    `learning_rate` may be a schedule callable (step -> lr), evaluated at
+    the pre-increment update count like optax's own optimizers."""
 
     def init_fn(params):
         zeros = jax.tree.map(jnp.zeros_like, params)
@@ -41,6 +44,8 @@ def adan(learning_rate: float, b1: float = 0.98, b2: float = 0.92,
                          jax.tree.map(jnp.zeros_like, params))
 
     def update_fn(grads, state, params):
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
         count = state.count + 1
         # on the first step diff = 0 (prev_grad initialized to grad)
         is_first = (count == 1)
@@ -66,10 +71,10 @@ def adan(learning_rate: float, b1: float = 0.98, b2: float = 0.92,
             denom = jnp.sqrt(n_ / bc3) + eps
             # reference: step_size = lr/bc1, step_size_diff = lr*b2/bc2
             update = (m_ / bc1 + b2 * v_ / bc2) / denom
-            new_p = p_ - learning_rate * update
+            new_p = p_ - lr * update
             # decoupled weight decay (proximal form): p /= (1 + lr*wd)
             if weight_decay > 0:
-                new_p = new_p / (1.0 + learning_rate * weight_decay)
+                new_p = new_p / (1.0 + lr * weight_decay)
             return new_p - p_
 
         updates = jax.tree.map(step, m, v, n, params)
@@ -104,21 +109,31 @@ def _path_to_dotted(path) -> str:
     return ".".join(parts)
 
 
-def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation:
+def parse_optimizer(optimizer_cfg: Dict, params,
+                    scheduler_cfg: Optional[Dict] = None
+                    ) -> optax.GradientTransformation:
     """Build optax transform honoring the reference per-module group spec.
 
     optimizer_cfg: {name, args: {lr, betas, eps, ...},
                     params: {dotted.module.prefix: {lr: ...}, ...}}
     When `params` is given, leaves not under any listed prefix are frozen
     (reference systems/utils.py:34-42 passes only listed groups to torch).
+
+    scheduler_cfg (`system.scheduler:` YAML, reference systems/utils.py:
+    74-114) scales every group's base lr by the same per-step factor,
+    like a torch scheduler stepping the whole optimizer.
     """
     name = optimizer_cfg.get("name", "AdamW")
     args = dict(optimizer_cfg.get("args", {}))
     groups: Optional[Dict] = optimizer_cfg.get("params")
 
+    def with_schedule(base_lr):
+        sched = parse_scheduler(scheduler_cfg, base_lr)
+        return sched if sched is not None else base_lr
+
     if not groups:
         lr = args.get("lr", 1e-3)
-        tx = _make_single_optimizer(name, lr, args)
+        tx = _make_single_optimizer(name, with_schedule(lr), args)
         # EMA buffers (StyleGAN w_avg) live in params with zero grads but
         # must never see unconditional transforms (AdamW/Adan weight decay
         # would silently decay them toward 0 every step): hard-freeze them.
@@ -133,7 +148,8 @@ def parse_optimizer(optimizer_cfg: Dict, params) -> optax.GradientTransformation
     for gname, gargs in groups.items():
         gall = {**args, **(gargs or {})}
         lr = gall.get("lr", args.get("lr", 1e-3))
-        transforms[gname] = _make_single_optimizer(name, lr, gall)
+        transforms[gname] = _make_single_optimizer(name, with_schedule(lr),
+                                                   gall)
         prefixes.append(gname)
     transforms["__frozen__"] = optax.set_to_zero()
 
@@ -165,20 +181,94 @@ def _is_ema_buffer(path) -> bool:
     return str(key if key is not None else last) == "w_avg"
 
 
+def _scheduler_factor(cfg: Dict, base_lr: float):
+    """cfg -> f(step) -> multiplicative lr factor, jnp-traceable.
+
+    Mirrors the torch lr_scheduler names the reference resolves dynamically
+    (threestudio/systems/utils.py:12-16,74-114), including the
+    SequentialLR/ChainedScheduler composites. Factors are relative to the
+    group's base lr so composition and per-group lrs work like torch."""
+    name = str(cfg.get("name", "")).lower()
+    args = dict(cfg.get("args", {}) or {})
+
+    if name == "exponentiallr":
+        gamma = float(args.get("gamma", 1.0))
+        return lambda step: jnp.power(gamma, step)
+    if name == "steplr":
+        gamma = float(args.get("gamma", 0.1))
+        size = int(args.get("step_size", 1))
+        return lambda step: jnp.power(gamma, step // size)
+    if name == "multisteplr":
+        gamma = float(args.get("gamma", 0.1))
+        milestones = jnp.asarray(sorted(args.get("milestones", [])),
+                                 jnp.float32)
+        return lambda step: jnp.power(gamma,
+                                      jnp.sum(milestones <= step))
+    if name == "linearlr":
+        # torch defaults: start_factor=1/3, end_factor=1.0, total_iters=5
+        start = float(args.get("start_factor", 1.0 / 3.0))
+        end = float(args.get("end_factor", 1.0))
+        total = max(1, int(args.get("total_iters", 5)))
+        return lambda step: start + (end - start) * jnp.minimum(
+            1.0, step / total)
+    if name == "constantlr":
+        factor = float(args.get("factor", 1.0 / 3.0))
+        total = int(args.get("total_iters", 5))
+        return lambda step: jnp.where(step < total, factor, 1.0)
+    if name == "cosineannealinglr":
+        t_max = max(1, int(args.get("T_max", 1)))
+        eta_min = float(args.get("eta_min", 0.0))
+        fmin = eta_min / base_lr if base_lr else 0.0
+        return lambda step: fmin + (1.0 - fmin) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * jnp.minimum(step, t_max) / t_max))
+    if name in ("sequentiallr", "sequential"):
+        subs = [_scheduler_factor(dict(c), base_lr)
+                for c in cfg.get("schedulers", [])]
+        milestones = [int(m) for m in cfg.get("milestones", [])]
+        assert len(milestones) == len(subs) - 1, (
+            "SequentialLR needs len(milestones) == len(schedulers) - 1")
+        starts = [0] + milestones
+
+        def seq(step):
+            # torch SequentialLR: each sub-scheduler restarts its own count
+            vals = [f(jnp.maximum(step - s, 0)) for f, s in zip(subs,
+                                                                starts)]
+            idx = sum(jnp.asarray(step >= m, jnp.int32)
+                      for m in milestones)
+            return jnp.select([idx == i for i in range(len(subs))], vals)
+
+        return seq
+    if name == "chainedscheduler":
+        subs = [_scheduler_factor(dict(c), base_lr)
+                for c in cfg.get("schedulers", [])]
+
+        def chained(step):
+            out = subs[0](step)
+            for f in subs[1:]:
+                out = out * f(step)
+            return out
+
+        return chained
+    raise ValueError(f"Unknown scheduler: {cfg.get('name')}")
+
+
 def parse_scheduler(scheduler_cfg: Optional[Dict], base_lr: float):
-    """LR schedule factory (subset of reference parse_scheduler,
-    systems/utils.py:56-114): exp decay + linear warmup variants."""
-    if scheduler_cfg is None:
+    """`system.scheduler:` YAML -> optax schedule (step -> lr), or None.
+
+    Parity: reference parse_scheduler (threestudio/systems/utils.py:74-114)
+    resolves torch lr_scheduler classes by name, incl. SequentialLR /
+    ChainedScheduler composites. Divergence: `interval: epoch` is applied
+    per STEP with a warning — the trainer (like the reference's infinite
+    iterable datasets, where PL epochs never complete) has no epoch axis.
+    """
+    if not scheduler_cfg:
         return None
-    name = scheduler_cfg.get("name", "")
-    args = scheduler_cfg.get("args", {})
-    if name.lower() == "exponentiallr":
-        gamma = args.get("gamma", 1.0)
-        return lambda step: base_lr * (gamma ** step)
-    if name.lower() == "linearlr":
-        start = args.get("start_factor", 1.0)
-        end = args.get("end_factor", 1.0)
-        total = args.get("total_iters", 1)
-        return lambda step: base_lr * (
-            start + (end - start) * min(1.0, step / total))
-    raise ValueError(f"Unknown scheduler: {name}")
+    cfg = dict(scheduler_cfg)
+    if cfg.get("interval", "epoch") == "epoch":
+        import logging
+        logging.getLogger(__name__).warning(
+            "scheduler interval 'epoch' interpreted per STEP: the training "
+            "loop is step-based (reference epochs never advance over "
+            "infinite iterable datasets)")
+    factor = _scheduler_factor(cfg, base_lr)
+    return lambda step: base_lr * factor(step)

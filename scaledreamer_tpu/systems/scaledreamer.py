@@ -1,10 +1,13 @@
 """`scaledreamer-system`: single-prompt ASD training system.
 
 Parity target: reference `threestudio/systems/scaledreamer.py:14-315`
-(StableDreamer): coarse-stage loss assembly (asd + orient + sparsity +
-opaque + z-variance [+ eikonal]), validation/test orbit rendering to image
-grids and mp4. The geometry/texture mesh stages (reference :105-160) are a
-later-round item (requires the differentiable rasterizer).
+(StableDreamer). This class is a thin registration shell: all stage logic —
+coarse-stage loss assembly (asd + orient + sparsity + opaque + z-variance
+[+ eikonal]) AND the geometry/texture mesh stages incl. the double-guidance
+combos (reference :105-160) — lives in `BaseLift3DSystem`
+(systems/base.py, see make_train_step / compute_regularization_losses),
+with mesh rasterization in `models/renderers/mesh_rasterize.py`
+(tested: tests/test_mesh_stage.py).
 """
 
 from __future__ import annotations

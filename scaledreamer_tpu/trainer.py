@@ -77,6 +77,7 @@ class Trainer:
         self.dm = datamodule
         self.cfg = parse_structured(TrainerConfig, trainer_cfg)
         self.ckpt_cfg = parse_structured(CheckpointConfig, checkpoint_cfg)
+        self._warn_inert_keys()
         self.trial_dir = trial_dir
         self.save_dir = os.path.join(trial_dir, "save")
         self.ckpt_dir = os.path.join(trial_dir, "ckpts")
@@ -105,6 +106,48 @@ class Trainer:
                 self._tb = SummaryWriter(os.path.join(trial_dir, "tb"))
             except Exception:
                 self._tb = None
+
+    # ------------------------------------------------------------------
+    def _warn_inert_keys(self):
+        """PL-surface keys accepted for config parity but without effect
+        here get a LOUD warning instead of a silent no-op (the reference
+        configs set some of them)."""
+        if self.cfg.strategy:
+            logger.warning(
+                "trainer.strategy=%r has no effect: parallelism is GSPMD "
+                "over the device mesh (see trainer.data_parallel_mode), "
+                "not a PL strategy", self.cfg.strategy)
+        if str(self.cfg.precision) not in ("32", "32-true"):
+            logger.warning(
+                "trainer.precision=%r has no effect: mixed precision is "
+                "per-module (e.g. system.geometry.conv_dtype/dtype="
+                "bfloat16); the train step computes in f32 by default",
+                self.cfg.precision)
+        if self.cfg.check_val_every_n_epoch is not None:
+            logger.warning(
+                "trainer.check_val_every_n_epoch has no effect: the "
+                "training loop is step-based over infinite iterable "
+                "datasets (epochs never complete, matching the reference); "
+                "use trainer.val_check_interval")
+
+    def _val_batch_limit(self, n_total: Optional[int] = None
+                         ) -> Optional[int]:
+        """PL limit_val_batches semantics: int = batch count, float in
+        (0, 1] = fraction of the orbit, 0 = skip validation."""
+        lim = self.cfg.limit_val_batches
+        if lim is None:
+            return None
+        limf = float(lim)
+        if limf == 0:
+            return 0
+        if 0 < limf < 1:
+            if n_total is None:
+                logger.warning("fractional limit_val_batches=%s needs a "
+                               "sized val dataset; running the full orbit",
+                               lim)
+                return None
+            return max(1, int(round(limf * n_total)))
+        return int(limf)
 
     # ------------------------------------------------------------------
     def fit(self, resume: Optional[str] = None):
@@ -152,6 +195,12 @@ class Trainer:
             guidance_params = self.system.guidance_params
         train_step = self.system.make_train_step(mesh=mesh)
         occ_update = self.system.make_occgrid_update()
+
+        if self.cfg.num_sanity_val_steps:
+            # PL parity: N validation batches before the first train step
+            n = self.cfg.num_sanity_val_steps
+            self.validate(state, tag="sanity",
+                          max_batches=None if n < 0 else n)
 
         pending_metrics = None
         pending_step = -1
@@ -269,15 +318,23 @@ class Trainer:
         return self._eval_render_fn
 
     # ------------------------------------------------------------------
-    def validate(self, state=None, tag: Optional[str] = None):
+    def validate(self, state=None, tag: Optional[str] = None,
+                 max_batches: Optional[int] = None):
         state = state if state is not None else self.state
         self.dm.setup("validate")
+        ds = self.dm.val_dataset
+        limit = (max_batches if max_batches is not None
+                 else self._val_batch_limit(
+                     len(ds) if hasattr(ds, "__len__") else None))
+        if limit == 0:
+            return []
         self._progress.on_validation_start()
         render = self._eval_render()
-        ds = self.dm.val_dataset
         tag = tag or f"it{self.global_step}-val"
         frames = []
         for i, batch in enumerate(ds):
+            if limit is not None and i >= limit:
+                break
             batch = self.system.prepare_batch(batch)
             out = render(state.params, batch)
             row = render_row_from_output(out)
