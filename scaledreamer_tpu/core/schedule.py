@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 from typing import Any, Dict
 
+_EPOCH_MODE_WARNED: list = []
+
 
 def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -> float:
     if isinstance(value, (int, float)):
@@ -44,6 +46,18 @@ def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -
     if len(value) != 4:
         raise ValueError(f"Bad schedule spec: {value}")
     start_step, start_value, end_value, end_step = value
+    if isinstance(end_step, float) and not _EPOCH_MODE_WARNED:
+        # float end_step selects EPOCH interpolation (reference
+        # misc.py:84-95). The trainer is step-based over infinite iterable
+        # datasets and always passes epoch 0 (the reference's PL epochs
+        # never complete either) — an epoch-mode schedule stays frozen at
+        # its start value. Warn once instead of silently misbehaving.
+        import logging
+        logging.getLogger(__name__).warning(
+            "C() schedule %s uses EPOCH interpolation (float end_step); "
+            "the training loop has no epoch axis (always 0), so this "
+            "schedule will never advance — use integer steps", value)
+        _EPOCH_MODE_WARNED.append(True)
     current = epoch if isinstance(end_step, float) else global_step
     denom = end_step - start_step
     t = 1.0 if denom == 0 else (current - start_step) / denom

@@ -71,10 +71,22 @@ class ImplicitVolume(nn.Module):
         raw = density + self._density_bias(points_unscaled)
         return raw, get_activation(self.cfg.density_activation)(raw)
 
-    def forward_density(self, points):
-        """points [..., 3] in world coords -> activated density [..., 1]."""
+    # coarse-levels proposal/compaction encode support (renderer
+    # `prop_encode_levels`; see HashGridEncoding max_levels — fine-level
+    # gather rows are removed from the program, output zero-padded)
+    @property
+    def supports_prop_max_levels(self) -> bool:
+        return self.cfg.pos_encoding_config.get("otype") in (
+            "HashGrid", "ProgressiveBandHashGrid")
+
+    def forward_density(self, points, max_levels=None):
+        """points [..., 3] in world coords -> activated density [..., 1].
+
+        max_levels truncates the hash encode to the coarse levels (renderer
+        proposal/compaction passes; sample placement only)."""
         pts = contract_to_unisphere(points, self.bbox, self.cfg.unbounded)
-        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims))
+        kw = {} if max_levels is None else {"max_levels": max_levels}
+        enc = self.encoding(pts.reshape(-1, self.cfg.n_input_dims), **kw)
         density = self.density_network(enc).reshape(*points.shape[:-1], 1)
         _, density = self._activate_density(points, density)
         return density

@@ -21,8 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from ... import register
-from ...ops.math import safe_normalize
+from ...ops.math import get_activation, safe_normalize
+from ...ops.networks import get_encoding, get_mlp
 from ...ops.render import (accumulate_along_rays, importance_sampling,
+                           prop_interlevel_loss, proposal_sampling,
                            rays_intersect_bbox, render_weights_from_density,
                            sample_pdf)
 from .occupancy import OccGridState, query_occupancy
@@ -40,19 +42,68 @@ class VolumeRendererBaseConfig:
     return_normal_perturb: bool = False
 
 
+class PropNet(nn.Module):
+    """Trainable proposal density field — the reference's
+    `create_network_with_input_encoding(**proposal_network_config)` +
+    `prop_sigma_fn` (nerf_volume_renderer.py:72-78,181-207): bbox-normalized
+    positions -> hashgrid encode -> tiny MLP -> shifted_trunc_exp density,
+    zeroed outside the bbox."""
+    config: dict
+    radius: float
+
+    def setup(self):
+        cfg = self.config or {}
+        n_in = int(cfg.get("n_input_dims", 3))
+        self.encoding = get_encoding(
+            n_in, cfg.get("encoding_config", {
+                "otype": "HashGrid", "n_levels": 5,
+                "n_features_per_level": 2, "log2_hashmap_size": 17,
+                "base_resolution": 16, "per_level_scale": 1.447269}))
+        self.network = get_mlp(
+            int(cfg.get("n_output_dims", 1)),
+            cfg.get("network_config", {
+                "otype": "VanillaMLP", "activation": "ReLU",
+                "n_neurons": 64, "n_hidden_layers": 1}))
+
+    def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
+        """positions [..., 3] world coords -> density [...]."""
+        x = (positions + self.radius) / (2.0 * self.radius)
+        selector = jnp.all((x > 0.0) & (x < 1.0), axis=-1)
+        flat = x.reshape(-1, x.shape[-1])
+        raw = self.network(self.encoding(flat)).reshape(x.shape[:-1])
+        return get_activation("shifted_trunc_exp")(raw) * selector
+
+
 @register("nerf-volume-renderer")
 class NeRFVolumeRenderer(nn.Module):
     @dataclass
     class Config(VolumeRendererBaseConfig):
-        estimator: str = "occgrid"  # ["occgrid", "importance"]
+        estimator: str = "occgrid"  # ["occgrid", "proposal", "importance"]
         train_chunk_size: int = 0   # rays per lax.map chunk (0 = no chunking)
         # occgrid
         grid_prune: bool = True
         prune_alpha_threshold: bool = True
         grid_resolution: int = 32
         occ_threshold: float = 0.01
+        # proposal (reference nerf_volume_renderer.py:41-45): prop net
+        # architecture + the optimizer group the system injects for it
+        # (threestudio steps a SEPARATE prop optimizer; here the interlevel
+        # loss is detached from the radiance field, so the prop net rides
+        # the main optimizer as its own param group "prop_net")
+        proposal_network_config: Optional[dict] = None
+        prop_optimizer_config: Optional[dict] = None
+        prop_scheduler_config: Optional[dict] = None
+        num_samples_per_ray_proposal: int = 64
         # importance
         num_samples_per_ray_importance: int = 64
+        # TPU row-count options (BASELINE.md): a stop-gradient COARSE
+        # density pass (prop_encode_levels coarse hashgrid levels; fine
+        # levels contribute zero gather rows) reshapes the occgrid sample
+        # CDF so num_samples_compact samples replace num_samples_per_ray
+        # for the full-geometry evaluation. Train-time only; 0 = off
+        # (reference parity). Sample PLACEMENT changes, gradients don't.
+        num_samples_compact: int = 0
+        prop_encode_levels: int = 0
 
     cfg: "NeRFVolumeRenderer.Config"
     geometry: nn.Module
@@ -60,8 +111,9 @@ class NeRFVolumeRenderer(nn.Module):
     background: nn.Module
 
     def _sample_along_rays(self, rays_o, rays_d, occ_grid: Optional[OccGridState],
-                           rng, train: bool):
-        """Returns dense (t_starts, t_ends) [R, S]."""
+                           rng, train: bool, prop_net=None):
+        """Returns dense (t_starts, t_ends) [R, S] plus an aux dict
+        (non-empty only for the proposal estimator)."""
         cfg = self.cfg
         near, far = rays_intersect_bbox(rays_o, rays_d, cfg.radius)
         near = jnp.maximum(near, cfg.near_plane)
@@ -76,12 +128,26 @@ class NeRFVolumeRenderer(nn.Module):
                 pos = rays_o[:, None, :] + rays_d[:, None, :] * tm
                 return self.geometry.forward_density(pos)[..., 0]
 
-            return importance_sampling(
+            ts, te = importance_sampling(
                 prop_sigma_fn, cfg.num_samples_per_ray_importance, S,
                 near, far, rng=rng, stratified=stratified)
+            return ts, te, {}
+
+        if cfg.estimator == "proposal":
+            def prop_sigma_fn(t0, t1):
+                tm = (t0 + t1)[..., None] / 2.0
+                pos = rays_o[:, None, :] + rays_d[:, None, :] * tm
+                return prop_net(pos)
+
+            (ts, te), aux = proposal_sampling(
+                prop_sigma_fn, cfg.num_samples_per_ray_proposal, S,
+                near, far, rng=rng, stratified=stratified)
+            return ts, te, aux
 
         # occgrid: uniform probe of the binary grid reshapes the sample CDF
         # so the fixed S samples concentrate in occupied cells.
+        rng_occ, rng_compact = (jax.random.split(rng)
+                                if rng is not None else (None, None))
         u = jnp.linspace(0.0, 1.0, S + 1)[None, :]
         t_edges = near + (far - near) * u  # [R, S+1]
         if occ_grid is not None and cfg.grid_prune:
@@ -94,17 +160,53 @@ class NeRFVolumeRenderer(nn.Module):
             cdf = jnp.concatenate([jnp.zeros((R, 1)), cdf], axis=-1)
             cdf = cdf / cdf[:, -1:]
             svals = sample_pdf(t_edges, cdf, S,
-                               rng if stratified else None, stratified)
+                               rng_occ if stratified else None, stratified)
             svals = jnp.sort(svals, axis=-1)
-            return svals[:, :-1], svals[:, 1:]
-        if stratified and rng is not None:
-            # jitter the interior edges within their bins (stratified)
-            bin_w = (far - near) / S
-            jitter = (jax.random.uniform(rng, (R, S - 1)) - 0.5) * bin_w
-            interior = t_edges[:, 1:-1] + jitter
-            t_edges = jnp.concatenate(
-                [t_edges[:, :1], interior, t_edges[:, -1:]], axis=-1)
-        return t_edges[:, :-1], t_edges[:, 1:]
+            ts, te = svals[:, :-1], svals[:, 1:]
+        else:
+            if stratified and rng_occ is not None:
+                # jitter the interior edges within their bins (stratified)
+                bin_w = (far - near) / S
+                jitter = (jax.random.uniform(rng_occ, (R, S - 1)) - 0.5) \
+                    * bin_w
+                interior = t_edges[:, 1:-1] + jitter
+                t_edges = jnp.concatenate(
+                    [t_edges[:, :1], interior, t_edges[:, -1:]], axis=-1)
+            ts, te = t_edges[:, :-1], t_edges[:, 1:]
+        if train and 0 < cfg.num_samples_compact < S:
+            ts, te = self._compact_samples(rays_o, rays_d, ts, te,
+                                           rng_compact, stratified)
+        return ts, te, {}
+
+    def _compact_samples(self, rays_o, rays_d, t_starts, t_ends, rng,
+                         stratified: bool):
+        """Coarse-density sample compaction for the dense occgrid path
+        (BASELINE.md row-count program): a stop-gradient density pass over
+        the full sample set — encoded with only `prop_encode_levels` coarse
+        hashgrid levels, so the fine levels' gather rows vanish — reshapes
+        the per-ray CDF, and `num_samples_compact` resampled points replace
+        the `num_samples_per_ray` set for the full geometry evaluation.
+        The analog of the generative renderer's prop_encode_levels: it
+        moves sample PLACEMENT only; image gradients are untouched."""
+        cfg = self.cfg
+        tm = (t_starts + t_ends)[..., None] / 2.0
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * tm
+        kw = {}
+        if cfg.prop_encode_levels > 0 and getattr(
+                self.geometry, "supports_prop_max_levels", False):
+            kw["max_levels"] = cfg.prop_encode_levels
+        sigma = jax.lax.stop_gradient(
+            self.geometry.forward_density(pos, **kw))[..., 0]
+        w, _ = render_weights_from_density(t_starts, t_ends, sigma)
+        pdf = w + 1e-3 / w.shape[-1]  # keep empty rays sampleable
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)
+        cdf = cdf / cdf[:, -1:]
+        edges = jnp.concatenate([t_starts[:, :1], t_ends], axis=-1)
+        svals = sample_pdf(edges, cdf, cfg.num_samples_compact,
+                           rng if stratified else None, stratified)
+        svals = jnp.sort(svals, axis=-1)
+        return svals[:, :-1], svals[:, 1:]
 
     @nn.compact
     def __call__(self, rays_o, rays_d, light_positions=None, bg_color=None,
@@ -112,6 +214,14 @@ class NeRFVolumeRenderer(nn.Module):
                  **kwargs):
         B, H, W, _ = rays_o.shape
         cfg = self.cfg
+        if cfg.estimator not in ("occgrid", "proposal", "importance"):
+            raise ValueError(
+                f"Unknown estimator {cfg.estimator!r}, should be one of "
+                "['occgrid', 'proposal', 'importance'] (reference "
+                "nerf_volume_renderer.py:110-113)")
+        prop_net = (PropNet(cfg.proposal_network_config or {},
+                            cfg.radius, name="prop_net")
+                    if cfg.estimator == "proposal" else None)
         rays_o_flat = rays_o.reshape(-1, 3)
         rays_d_flat = rays_d.reshape(-1, 3)
         R = rays_o_flat.shape[0]
@@ -128,8 +238,8 @@ class NeRFVolumeRenderer(nn.Module):
 
         def render_chunk(ro, rd, lf, chunk_rng):
             """ro/rd/lf [Rc, 3] -> per-ray dict (leading dim Rc)."""
-            t_starts, t_ends = self._sample_along_rays(
-                ro, rd, occ_grid, chunk_rng, train)
+            t_starts, t_ends, est_aux = self._sample_along_rays(
+                ro, rd, occ_grid, chunk_rng, train, prop_net=prop_net)
             S = t_starts.shape[-1]
             t_mid = ((t_starts + t_ends) / 2.0)[..., None]
             t_intervals = (t_ends - t_starts)[..., None]
@@ -152,6 +262,7 @@ class NeRFVolumeRenderer(nn.Module):
                    "t_dirs": t_dirs, "positions": positions,
                    "density": density, "rgb_fg": rgb_fg,
                    "t_starts": t_starts, "t_ends": t_ends}
+            out.update(est_aux)  # prop_svals/prop_cdfs/final_svals
             for k in ("features", "normal", "shading_normal", "sdf_grad"):
                 if k in geo_out:
                     out[k] = geo_out[k]
@@ -231,6 +342,13 @@ class NeRFVolumeRenderer(nn.Module):
                 "points": positions,
                 **geo_out,
             })
+            if cfg.estimator == "proposal":
+                # interlevel loss training the prop net (detached from the
+                # radiance field; the system adds it to the total loss
+                # gated by scalars["prop_grad_gate"])
+                out["prop_loss"] = jnp.mean(prop_interlevel_loss(
+                    chunk_out["final_svals"], weights,
+                    chunk_out["prop_svals"], chunk_out["prop_cdfs"]))
             if cfg.return_comp_normal and "normal" in geo_out:
                 comp_normal = safe_normalize(
                     accumulate_along_rays(weights, geo_out["normal"]))

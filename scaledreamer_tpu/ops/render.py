@@ -144,6 +144,88 @@ def importance_sampling(
     return t_all[..., :-1], t_all[..., 1:]
 
 
+def proposal_sampling(
+    prop_sigma_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    num_prop_samples: int,
+    num_samples: int,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    rng: Optional[jax.Array] = None,
+    stratified: bool = False,
+    sampling_type: str = "uniform",
+) -> Tuple[Tuple[jnp.ndarray, jnp.ndarray], dict]:
+    """Proposal-NETWORK sampling (nerfacc PropNetEstimator.sampling parity;
+    reference nerf_volume_renderer.py:86-88,181-216): one prop level whose
+    densities come from a small trainable network; the final samples are the
+    resample alone (no merge with the prop t-vals, unlike
+    `importance_sampling`).
+
+    Returns ((t_starts, t_ends) [R, num_samples], aux) where aux carries the
+    s-space quantities `prop_interlevel_loss` needs: prop_svals/prop_cdfs
+    [R, P+1] (cdfs DIFFERENTIABLE wrt the prop net — that is its training
+    signal) and final_svals [R, num_samples+1]. Sample placement itself is
+    stop-gradiented (the reference's CUDA resampler has no backward).
+    """
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    R = near.shape[0] if near.ndim > 0 else 1
+    near = jnp.broadcast_to(near.reshape(-1, 1), (R, 1))
+    far = jnp.broadcast_to(far.reshape(-1, 1), (R, 1))
+    rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
+
+    svals0 = jnp.broadcast_to(
+        jnp.array([0.0, 1.0], jnp.float32)[None, :], (R, 2))
+    svals = sample_pdf(svals0, svals0, num_prop_samples, rngs[0], stratified)
+    t_vals = _transform_stot(sampling_type, svals, near, far)
+    t_starts, t_ends = t_vals[..., :-1], t_vals[..., 1:]
+
+    sigmas = prop_sigma_fn(t_starts, t_ends)  # differentiable: trains prop
+    trans = transmittance_from_density(t_starts, t_ends, sigmas)
+    cdfs = 1.0 - jnp.concatenate(
+        [trans, jnp.zeros_like(trans[:, :1])], axis=-1)
+
+    svals_fine = sample_pdf(svals, jax.lax.stop_gradient(cdfs),
+                            num_samples, rngs[1], stratified)
+    t_fine = _transform_stot(sampling_type, svals_fine, near, far)
+    aux = {"prop_svals": svals, "prop_cdfs": cdfs,
+           "final_svals": svals_fine}
+    return (t_fine[..., :-1], t_fine[..., 1:]), aux
+
+
+def prop_interlevel_loss(final_svals: jnp.ndarray,
+                         final_weights: jnp.ndarray,
+                         prop_svals: jnp.ndarray,
+                         prop_cdfs: jnp.ndarray,
+                         eps: float = 1e-7) -> jnp.ndarray:
+    """mip-NeRF 360 outer-measure (interlevel) loss per ray — the TPU-native
+    equivalent of nerfacc `PropNetEstimator.compute_loss` / `_pdf_loss` that
+    the reference steps a separate prop optimizer with
+    (nerf_volume_renderer.py:453-458). The final field is detached; only the
+    prop CDF (hence the prop net) receives gradient — so this term can ride
+    the MAIN loss/optimizer without perturbing the radiance field.
+
+    final_svals [R, N+1], final_weights [R, N] (render weights per final
+    bin), prop_svals/prop_cdfs [R, P+1]. Returns [R] per-ray loss.
+    """
+    w = jax.lax.stop_gradient(final_weights)
+    P1 = prop_cdfs.shape[-1]
+    # prop CDF over the outer envelope of each final bin: last prop edge
+    # <= s_left and first prop edge >= s_right
+    idx_left = jax.vmap(
+        lambda p, q: jnp.searchsorted(p, q, side="right"))(
+        prop_svals, final_svals[..., :-1]) - 1
+    idx_right = jax.vmap(
+        lambda p, q: jnp.searchsorted(p, q, side="left"))(
+        prop_svals, final_svals[..., 1:])
+    idx_left = jnp.clip(idx_left, 0, P1 - 1)
+    idx_right = jnp.clip(idx_right, 0, P1 - 1)
+    cdf_l = jnp.take_along_axis(prop_cdfs, idx_left, axis=-1)
+    cdf_r = jnp.take_along_axis(prop_cdfs, idx_right, axis=-1)
+    w_outer = cdf_r - cdf_l
+    excess = jnp.clip(w - w_outer, 0.0, None)
+    return jnp.mean(excess ** 2 / (w + eps), axis=-1)
+
+
 def volsdf_density(sdf: jnp.ndarray, inv_std) -> jnp.ndarray:
     """Laplace-CDF density (reference neus_volume_renderer.py:19-23)."""
     inv_std = jnp.clip(inv_std, 0.0, 80.0)

@@ -181,7 +181,24 @@ class BaseLift3DSystem(BaseObject):
         if self.cfg.geometry_convert_from:
             params = self.convert_geometry(params,
                                            self.cfg.geometry_convert_from)
-        tx = parse_optimizer(self.cfg.optimizer, params,
+        rcfg = self.renderer.cfg
+        ocfg = dict(self.cfg.optimizer)
+        if getattr(rcfg, "estimator", None) == "proposal" and \
+                (ocfg.get("params") or {}) and \
+                "prop_net" not in (ocfg.get("params") or {}):
+            # the prop net must not stay frozen under per-module groups:
+            # inject the group the reference builds a separate optimizer
+            # from (prop_optimizer_config, nerf_volume_renderer.py:76-88)
+            pcfg = dict(getattr(rcfg, "prop_optimizer_config", None) or {})
+            group = dict(pcfg.get("args", {})) or {"lr": 1e-2}
+            if pcfg.get("name"):
+                group["name"] = pcfg["name"]
+            if getattr(rcfg, "prop_scheduler_config", None):
+                group["scheduler"] = rcfg.prop_scheduler_config
+            ocfg["params"] = {**ocfg["params"], "prop_net": group}
+            logger.info("proposal estimator: optimizing prop_net with "
+                        "group %s", group)
+        tx = parse_optimizer(ocfg, params,
                              scheduler_cfg=self.cfg.scheduler)
         accum = int(getattr(self, "grad_accum", 1))
         if accum > 1:
@@ -192,7 +209,6 @@ class BaseLift3DSystem(BaseObject):
         self.tx = tx
         opt_state = tx.init(params)
         occ = None
-        rcfg = self.renderer.cfg
         if getattr(rcfg, "estimator", None) == "occgrid":
             occ = init_occgrid(rcfg.grid_resolution, rcfg.radius)
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -289,12 +305,34 @@ class BaseLift3DSystem(BaseObject):
             # stylegan_3dconv_net.py:419-421 update_step)
             out["truncation_psi"] = np.float32(
                 C(gcfg.truncation_psi, epoch, global_step))
+        if getattr(rcfg, "estimator", None) == "proposal":
+            out["prop_grad_gate"] = np.float32(
+                1.0 if self._proposal_requires_grad(global_step) else 0.0)
         return out
+
+    def _proposal_requires_grad(self, step: int, target: float = 5.0,
+                                num_steps: int = 1000) -> bool:
+        """Stateful every-N gating of the prop-net loss (reference
+        get_proposal_requires_grad_fn, nerf_volume_renderer.py:90-108):
+        starts updating every step, anneals toward every `target` steps."""
+        since = getattr(self, "_prop_steps_since_grad", 0)
+        requires = since > min(step / num_steps, 1.0) * target
+        if requires:
+            since = 0
+        self._prop_steps_since_grad = since + 1
+        return requires
 
     # ------------------------------------------------------------------
     def compute_regularization_losses(self, out: Dict, scalars: Dict,
                                       metrics: Dict) -> jnp.ndarray:
         loss = 0.0
+        if "prop_loss" in out:
+            # proposal-estimator interlevel loss (detached from the radiance
+            # field; trains only the prop_net param group), gated every N
+            # steps like the reference's proposal_requires_grad_fn
+            metrics["loss_prop"] = out["prop_loss"]
+            loss = loss + out["prop_loss"] * scalars.get(
+                "prop_grad_gate", 1.0)
         if "coarse" in self.cfg.stage:
             if not _sched_is_zero(self.loss_cfg.lambda_orient) and "normal" in out:
                 l = losses.orient_loss(out["weights"], out["normal"],

@@ -146,9 +146,19 @@ def parse_optimizer(optimizer_cfg: Dict, params,
     transforms = {}
     prefixes = []
     for gname, gargs in groups.items():
-        gall = {**args, **(gargs or {})}
+        gargs = dict(gargs or {})
+        # per-group overrides: optimizer name and scheduler (the reference
+        # builds e.g. a separate prop-net optimizer, systems/utils.py /
+        # nerf_volume_renderer.py:76-88)
+        g_opt_name = gargs.pop("name", name)
+        g_sched = gargs.pop("scheduler", None)
+        gall = {**args, **gargs}
         lr = gall.get("lr", args.get("lr", 1e-3))
-        transforms[gname] = _make_single_optimizer(name, with_schedule(lr),
+        if g_sched is not None:
+            lr_final = parse_scheduler(g_sched, lr) or lr
+        else:
+            lr_final = with_schedule(lr)
+        transforms[gname] = _make_single_optimizer(g_opt_name, lr_final,
                                                    gall)
         prefixes.append(gname)
     transforms["__frozen__"] = optax.set_to_zero()

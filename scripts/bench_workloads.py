@@ -28,6 +28,19 @@ OFFLINE = [
 # (missing path -> random init, same compute as pretrained)
 SD_OFFLINE = ["system.guidance.pretrained_model_name_or_path=__offline__"]
 
+# TPU-first 8x4 table re-slice (see bench.py): identical param count
+# (8*2^19*4 == 16*2^19*2), output width (32) and finest resolution (4096,
+# per_level_scale = exp(ln(256)/7)) as the tcnn 16x2 slicing; gather and
+# scatter cost are per ROW and width-independent on this stack (memory
+# axon-tpu-measurement), so halving the level count halves the encode
+# rows. BENCH_RESLICE=0 restores the tcnn 16x2 parity slicing. All the
+# implicit-volume and Hyper-iNGP rows share these exact constants.
+_RESLICE = ([
+    "system.geometry.pos_encoding_config.n_levels=8",
+    "system.geometry.pos_encoding_config.n_features_per_level=4",
+    "system.geometry.pos_encoding_config.per_level_scale=2.2081413",
+] if os.environ.get("BENCH_RESLICE", "1") == "1" else [])
+
 WORKLOADS = {
     # single-prompt ASD-SD NeRF (64² stage; 512 samples/ray occgrid)
     "sd_nerf": dict(
@@ -45,7 +58,14 @@ WORKLOADS = {
             + os.environ.get("BENCH_INTERP", "Simplex"),
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
-        ]),
+            # r4 row-count levers on the dense occgrid path: coarse-levels
+            # density pass reshapes the CDF, full geometry evals shrink
+            # 512 -> BENCH_COMPACT. BENCH_COMPACT=0 for reference parity.
+            "system.renderer.num_samples_compact="
+            + os.environ.get("BENCH_COMPACT", "128"),
+            "system.renderer.prop_encode_levels="
+            + os.environ.get("BENCH_PROP_LEVELS", "3"),
+        ] + _RESLICE),
     # single-prompt ASD-MVDream NeRF (B=4 views, 256 samples/ray)
     "mv_nerf": dict(
         config="configs/single-prompt_benchmark/asd_mv_nerf.yaml",
@@ -69,7 +89,13 @@ WORKLOADS = {
             + os.environ.get("BENCH_INTERP", "Simplex"),
             "system.geometry.pos_encoding_config.dense_cell_packing="
             + os.environ.get("BENCH_PACKING", "true"),
-        ]),
+            # r4 row-count levers (see sd_nerf): 256 -> BENCH_COMPACT full
+            # evals per ray; BENCH_COMPACT=0 for reference parity
+            "system.renderer.num_samples_compact="
+            + os.environ.get("BENCH_COMPACT", "96"),
+            "system.renderer.prop_encode_levels="
+            + os.environ.get("BENCH_PROP_LEVELS", "3"),
+        ] + _RESLICE),
     # Hyper-iNGP + SD amortized (the north-star row; same as bench.py)
     "hyper_ingp": dict(
         config="configs/multi-prompt_benchmark/asd_sd_hyper_iNGP_50k.yaml",
@@ -89,14 +115,7 @@ WORKLOADS = {
             # coarse-levels-only proposal encode (see bench.py; 0 = parity)
             "system.renderer.prop_encode_levels="
             + os.environ.get("BENCH_PROP_LEVELS", "3"),
-        ] + ([
-            # TPU-first 8x4 table re-slice (see bench.py): same params/
-            # output width/finest res as tcnn 16x2, half the forward
-            # gather rows (measured, scripts/microbench_encode.py)
-            "system.geometry.pos_encoding_config.n_levels=8",
-            "system.geometry.pos_encoding_config.n_features_per_level=4",
-            "system.geometry.pos_encoding_config.per_level_scale=2.2081413",
-        ] if os.environ.get("BENCH_RESLICE", "1") == "1" else [])),
+        ] + _RESLICE),
     # 3DConv-net + SD amortized
     "conv3d": dict(
         config="configs/multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml",

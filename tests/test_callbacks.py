@@ -56,3 +56,35 @@ def test_spatial_time_encoding():
     g = jax.grad(lambda p: jnp.sum(enc.apply(p, x) ** 2))(params)
     assert float(jnp.abs(g["params"]["encoding"]["table_time"]).max()) == 0
     assert float(jnp.abs(g["params"]["encoding"]["table"]).max()) > 0
+
+def test_trainer_warns_on_inert_keys(tmp_path, caplog):
+    """PL-surface keys without effect must warn, not silently no-op
+    (VERDICT r3: reference configs set some of these)."""
+    import logging
+    from types import SimpleNamespace
+
+    from scaledreamer_tpu.trainer import Trainer
+
+    class _Sys:
+        cfg = SimpleNamespace(loggers=None)
+
+    with caplog.at_level(logging.WARNING, logger="scaledreamer_tpu.trainer"):
+        tr = Trainer(_Sys(), None,
+                     {"max_steps": 1, "strategy": "ddp",
+                      "precision": "16-mixed",
+                      "check_val_every_n_epoch": 2},
+                     {}, str(tmp_path / "trial"))
+    text = caplog.text
+    assert "strategy" in text and "GSPMD" in text
+    assert "precision" in text
+    assert "check_val_every_n_epoch" in text
+
+    # limit_val_batches semantics (PL): int count / fraction / 0 skips
+    tr.cfg.limit_val_batches = 3
+    assert tr._val_batch_limit(30) == 3
+    tr.cfg.limit_val_batches = 0.5
+    assert tr._val_batch_limit(30) == 15
+    tr.cfg.limit_val_batches = 0
+    assert tr._val_batch_limit(30) == 0
+    tr.cfg.limit_val_batches = None
+    assert tr._val_batch_limit(30) is None

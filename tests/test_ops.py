@@ -473,3 +473,41 @@ def test_hashgrid_encoding_max_levels_truncation():
     assert np.allclose(np.asarray(denc_t)[..., :kF],
                        np.asarray(denc_f)[..., :kF], atol=1e-6)
     assert np.all(np.asarray(denc_t)[..., kF:] == 0.0)
+
+def test_prop_interlevel_loss_invariants():
+    """Outer-measure loss (nerfacc _pdf_loss parity): zero when the prop
+    CDF upper-bounds the final weights, positive when prop misses mass."""
+    import jax
+    import jax.numpy as jnp
+    from scaledreamer_tpu.ops.render import prop_interlevel_loss
+
+    R, P, N = 4, 8, 6
+    prop_svals = jnp.broadcast_to(jnp.linspace(0.0, 1.0, P + 1), (R, P + 1))
+    final_svals = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N + 1), (R, N + 1))
+
+    # prop covers everything (cdf 0 -> 1 linearly = uniform mass): any
+    # final weights summing <= the prop mass in their envelope give ~0
+    prop_cdfs = prop_svals
+    w_uniform = jnp.full((R, N), 1.0 / N) * 0.5  # half the prop mass
+    loss = prop_interlevel_loss(final_svals, w_uniform, prop_svals,
+                                prop_cdfs)
+    assert loss.shape == (R,)
+    assert float(jnp.max(loss)) < 1e-6
+
+    # prop has ZERO mass in the second half; final mass concentrated there
+    # must be penalized
+    half = jnp.concatenate([jnp.linspace(0.0, 1.0, P // 2 + 1),
+                            jnp.ones(P // 2)])
+    prop_cdfs_bad = jnp.broadcast_to(half, (R, P + 1))
+    w_late = jnp.zeros((R, N)).at[:, -1].set(0.9)  # mass near s=1
+    loss_bad = prop_interlevel_loss(final_svals, w_late, prop_svals,
+                                    prop_cdfs_bad)
+    assert float(jnp.min(loss_bad)) > 1e-3
+
+    # gradient flows to prop_cdfs, NOT to final weights
+    g = jax.grad(lambda c: prop_interlevel_loss(
+        final_svals, w_late, prop_svals, c).sum())(prop_cdfs_bad)
+    assert float(jnp.abs(g).sum()) > 0
+    gw = jax.grad(lambda w: prop_interlevel_loss(
+        final_svals, w, prop_svals, prop_cdfs_bad).sum())(w_late)
+    assert float(jnp.abs(gw).sum()) == 0.0

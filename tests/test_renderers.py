@@ -257,3 +257,89 @@ def test_patch_renderer_train_and_eval():
     out_base = base.apply(bp, rays_o, rays_d, train=False)
     assert np.allclose(np.asarray(out_ev["comp_rgb"]),
                        np.asarray(out_base["comp_rgb"]), atol=1e-5)
+
+def test_nerf_renderer_proposal_estimator():
+    """Proposal estimator (reference nerf_volume_renderer.py:72-88,181-216):
+    trainable prop net shapes the sample CDF; interlevel loss trains ONLY
+    the prop_net subtree (the radiance field is detached in it)."""
+    Renderer = sd.find("nerf-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "radius": 1.0, "num_samples_per_ray": 64, "estimator": "proposal",
+        "num_samples_per_ray_proposal": 32, "randomized": False,
+        "proposal_network_config": {
+            "n_input_dims": 3, "n_output_dims": 1,
+            "encoding_config": {"otype": "HashGrid", "n_levels": 3,
+                                "n_features_per_level": 2,
+                                "log2_hashmap_size": 8,
+                                "base_resolution": 4,
+                                "per_level_scale": 1.5},
+            "network_config": {"otype": "VanillaMLP", "n_neurons": 16,
+                               "n_hidden_layers": 1}}})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch(H=8, W=8)
+    variables = renderer.init(jax.random.PRNGKey(0), rays_o, rays_d,
+                              train=True)
+    assert "prop_net" in variables["params"], list(variables["params"])
+
+    out = renderer.apply(variables, rays_o, rays_d, train=True,
+                         rngs={"sampling": jax.random.PRNGKey(1)})
+    assert "prop_loss" in out
+    assert np.isfinite(float(out["prop_loss"]))
+    # the render itself still sees the sphere
+    opacity = np.asarray(out["opacity"])[0, ..., 0]
+    assert opacity[4, 4] > 0.9 and opacity[0, 0] < 0.05
+
+    def prop_loss_fn(params):
+        o = renderer.apply({"params": params}, rays_o, rays_d, train=True,
+                           rngs={"sampling": jax.random.PRNGKey(1)})
+        return o["prop_loss"]
+
+    grads = jax.grad(prop_loss_fn)(variables["params"])
+    g_prop = sum(float(jnp.abs(g).sum())
+                 for g in jax.tree.leaves(grads["prop_net"]))
+    assert g_prop > 0.0, "interlevel loss must train the prop net"
+    # everything outside prop_net is detached in the interlevel loss
+    g_other = sum(float(jnp.abs(g).sum())
+                  for k, sub in grads.items() if k != "prop_net"
+                  for g in jax.tree.leaves(sub))
+    assert g_other == 0.0, g_other
+
+
+def test_nerf_renderer_unknown_estimator_raises():
+    Renderer = sd.find("nerf-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "radius": 1.0, "num_samples_per_ray": 16, "estimator": "nonsense"})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch(H=4, W=4)
+    with pytest.raises(ValueError, match="Unknown estimator"):
+        renderer.init(jax.random.PRNGKey(0), rays_o, rays_d, train=False)
+
+def test_nerf_renderer_occgrid_compaction():
+    """Coarse-density sample compaction (num_samples_compact): train-time
+    full-geometry evals shrink to the compact count while the render still
+    resolves the sphere; eval path is untouched (full sample count)."""
+    Renderer = sd.find("nerf-volume-renderer")
+    material, background = _build_material_background()
+    cfg = parse_structured(Renderer.Config, {
+        "radius": 1.0, "num_samples_per_ray": 128, "estimator": "occgrid",
+        "num_samples_compact": 32, "randomized": False})
+    renderer = Renderer(cfg=cfg, geometry=AnalyticSphereDensity(),
+                        material=material, background=background)
+    rays_o, rays_d = _camera_batch()
+    params = renderer.init(jax.random.PRNGKey(0), rays_o, rays_d, train=True)
+    out = renderer.apply(params, rays_o, rays_d, train=True,
+                         rngs={"sampling": jax.random.PRNGKey(1)})
+    assert out["weights"].shape[-2] == 32  # compacted sample axis
+    H = rays_o.shape[1]
+    c = H // 2
+    opacity = np.asarray(out["opacity"])[0, ..., 0].reshape(H, H)
+    assert opacity[c, c] > 0.9 and opacity[0, 0] < 0.05
+    depth = np.asarray(out["depth"]).reshape(H, H)[c, c]
+    assert depth == pytest.approx(1.5, abs=0.07)
+    # eval path keeps the full dense sample count
+    out_eval = renderer.apply(params, rays_o, rays_d, train=False)
+    assert np.asarray(out_eval["opacity"]).reshape(H, H)[c, c] > 0.9

@@ -232,3 +232,78 @@ def test_trainer_ray_parallel_mode(tmp_path):
     with open(trainer._csv_path) as f:
         rows = list(_csv.DictReader(f))
     assert rows and np.isfinite(float(rows[-1]["loss"]))
+
+def test_training_with_proposal_estimator(tmp_path):
+    """Full train loop with estimator=proposal: the prop_net optimizer
+    group is injected (unlisted modules are otherwise frozen), the gate
+    scalar flows, and the prop net actually moves."""
+    import copy
+
+    import jax
+
+    cfg = copy.deepcopy(SMOKE_CONFIG)
+    cfg["exp_root_dir"] = str(tmp_path / "outputs")
+    cfg["system"]["prompt_processor"]["cache_dir"] = str(tmp_path / "cache")
+    cfg["system"]["renderer"].update({
+        "estimator": "proposal",
+        "num_samples_per_ray_proposal": 12,
+        "proposal_network_config": {
+            "encoding_config": {"otype": "HashGrid", "n_levels": 3,
+                                "n_features_per_level": 2,
+                                "log2_hashmap_size": 8,
+                                "base_resolution": 4,
+                                "per_level_scale": 1.5},
+            "network_config": {"otype": "VanillaMLP", "n_neurons": 16,
+                               "n_hidden_layers": 1}},
+        "prop_optimizer_config": {"name": "Adam", "args": {"lr": 0.01}},
+    })
+    cfg["trainer"] = {"max_steps": 6, "log_every_n_steps": 2,
+                      "val_check_interval": 0}
+    cfg_path = tmp_path / "prop.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    exp_cfg = load_config(str(cfg_path), cli_args=[], n_gpus=1)
+    dm_cls = sd.find(exp_cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, exp_cfg.data), seed=0)
+    system_cls = sd.find(exp_cfg.system_type)
+    system = system_cls(
+        cfg=parse_structured(system_cls.Config, exp_cfg.system))
+    trainer = Trainer(system, dm, exp_cfg.trainer, exp_cfg.checkpoint,
+                      exp_cfg.trial_dir, seed=0)
+
+    dm.setup("fit")
+    system.on_fit_start(jax.random.PRNGKey(0))
+    state0 = system.init_state(jax.random.PRNGKey(0), dm.train_batch())
+    prop0 = jax.tree.map(np.asarray, state0.params["prop_net"])
+
+    state = trainer.fit()
+    assert trainer.global_step == 6
+    # gate scalar present and the interlevel loss logged
+    scalars = system.schedule_scalars(0, 0)
+    assert "prop_grad_gate" in scalars
+    import csv
+    with open(trainer._csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert "loss_prop" in rows[0]
+    assert all(np.isfinite(float(r["loss_prop"])) for r in rows)
+    # prop net trained (moved from its init)
+    moved = any(
+        not np.allclose(np.asarray(a), b) for a, b in zip(
+            jax.tree.leaves(state.params["prop_net"]),
+            jax.tree.leaves(prop0)))
+    assert moved, "prop_net params did not move"
+
+
+def test_limit_val_batches_truncates_orbit(smoke_run):
+    trainer, system, dm, state, cfg = smoke_run
+    trainer.state = state
+    trainer.cfg.limit_val_batches = 1
+    try:
+        frames = trainer.validate(state, tag="val-limited")
+        assert len(frames) == 1
+        trainer.cfg.limit_val_batches = 0
+        assert trainer.validate(state, tag="val-skipped") == []
+        assert not os.path.exists(
+            os.path.join(trainer.save_dir, "val-skipped"))
+    finally:
+        trainer.cfg.limit_val_batches = None
