@@ -112,7 +112,12 @@ class Trainer:
         """PL-surface keys accepted for config parity but without effect
         here get a LOUD warning instead of a silent no-op (the reference
         configs set some of them)."""
-        if self.cfg.strategy:
+        if self.cfg.strategy and not str(self.cfg.strategy).startswith(
+                "ddp"):
+            # "ddp" (what every reference benchmark config sets) is
+            # semantically satisfied: the GSPMD data mesh IS data
+            # parallelism with gradient averaging. Anything else (e.g.
+            # deepspeed_stage_2) has no equivalent here.
             logger.warning(
                 "trainer.strategy=%r has no effect: parallelism is GSPMD "
                 "over the device mesh (see trainer.data_parallel_mode), "

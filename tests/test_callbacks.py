@@ -70,7 +70,7 @@ def test_trainer_warns_on_inert_keys(tmp_path, caplog):
 
     with caplog.at_level(logging.WARNING, logger="scaledreamer_tpu.trainer"):
         tr = Trainer(_Sys(), None,
-                     {"max_steps": 1, "strategy": "ddp",
+                     {"max_steps": 1, "strategy": "deepspeed_stage_2",
                       "precision": "16-mixed",
                       "check_val_every_n_epoch": 2},
                      {}, str(tmp_path / "trial"))
