@@ -99,6 +99,28 @@ def _transform_stot(sampling_type: str, s_vals, t_min, t_max):
     raise ValueError(f"Unknown sampling_type: {sampling_type}")
 
 
+def _broadcast_near_far(near, far):
+    near = jnp.asarray(near, jnp.float32)
+    far = jnp.asarray(far, jnp.float32)
+    R = near.shape[0] if near.ndim > 0 else 1
+    return (jnp.broadcast_to(near.reshape(-1, 1), (R, 1)),
+            jnp.broadcast_to(far.reshape(-1, 1), (R, 1)), R)
+
+
+def _uniform_svals(R: int, num: int, rng, stratified: bool) -> jnp.ndarray:
+    """Level-0 s-values [R, num+1]: inverse-CDF of the uniform CDF."""
+    svals0 = jnp.broadcast_to(
+        jnp.array([0.0, 1.0], jnp.float32)[None, :], (R, 2))
+    return sample_pdf(svals0, svals0, num, rng, stratified)
+
+
+def _endpoint_cdf(t_starts, t_ends, sigmas) -> jnp.ndarray:
+    """CDF at interval endpoints: 1 - [T, 0] -> starts at 0, ends at 1."""
+    trans = transmittance_from_density(t_starts, t_ends, sigmas)
+    return 1.0 - jnp.concatenate(
+        [trans, jnp.zeros_like(trans[:, :1])], axis=-1)
+
+
 def importance_sampling(
     prop_sigma_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     num_prop_samples: int,
@@ -115,27 +137,15 @@ def importance_sampling(
     (t_starts [R,P], t_ends [R,P]) -> densities [R,P].
     Returns dense (t_starts, t_ends), each [R, P + num_samples].
     """
-    near = jnp.asarray(near, jnp.float32)
-    far = jnp.asarray(far, jnp.float32)
-    R = near.shape[0] if near.ndim > 0 else 1
-    near = jnp.broadcast_to(near.reshape(-1, 1), (R, 1))
-    far = jnp.broadcast_to(far.reshape(-1, 1), (R, 1))
-
+    near, far, R = _broadcast_near_far(near, far)
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
 
-    # level 0: uniform CDF
-    svals0 = jnp.broadcast_to(
-        jnp.array([0.0, 1.0], jnp.float32)[None, :], (R, 2))
-    cdfs0 = svals0
-    svals = sample_pdf(svals0, cdfs0, num_prop_samples, rngs[0], stratified)
+    svals = _uniform_svals(R, num_prop_samples, rngs[0], stratified)
     t_vals = _transform_stot(sampling_type, svals, near, far)
     t_starts, t_ends = t_vals[..., :-1], t_vals[..., 1:]
 
     sigmas = jax.lax.stop_gradient(prop_sigma_fn(t_starts, t_ends))
-    trans = transmittance_from_density(t_starts, t_ends, sigmas)
-    # endpoint CDF: 1 - [T, 0] -> starts at 0, ends at 1
-    cdfs = 1.0 - jnp.concatenate(
-        [trans, jnp.zeros_like(trans[:, :1])], axis=-1)
+    cdfs = _endpoint_cdf(t_starts, t_ends, sigmas)
 
     svals_fine = sample_pdf(svals, cdfs, num_samples, rngs[1], stratified)
     t_fine = _transform_stot(sampling_type, svals_fine, near, far)
@@ -166,23 +176,15 @@ def proposal_sampling(
     signal) and final_svals [R, num_samples+1]. Sample placement itself is
     stop-gradiented (the reference's CUDA resampler has no backward).
     """
-    near = jnp.asarray(near, jnp.float32)
-    far = jnp.asarray(far, jnp.float32)
-    R = near.shape[0] if near.ndim > 0 else 1
-    near = jnp.broadcast_to(near.reshape(-1, 1), (R, 1))
-    far = jnp.broadcast_to(far.reshape(-1, 1), (R, 1))
+    near, far, R = _broadcast_near_far(near, far)
     rngs = jax.random.split(rng, 2) if rng is not None else (None, None)
 
-    svals0 = jnp.broadcast_to(
-        jnp.array([0.0, 1.0], jnp.float32)[None, :], (R, 2))
-    svals = sample_pdf(svals0, svals0, num_prop_samples, rngs[0], stratified)
+    svals = _uniform_svals(R, num_prop_samples, rngs[0], stratified)
     t_vals = _transform_stot(sampling_type, svals, near, far)
     t_starts, t_ends = t_vals[..., :-1], t_vals[..., 1:]
 
     sigmas = prop_sigma_fn(t_starts, t_ends)  # differentiable: trains prop
-    trans = transmittance_from_density(t_starts, t_ends, sigmas)
-    cdfs = 1.0 - jnp.concatenate(
-        [trans, jnp.zeros_like(trans[:, :1])], axis=-1)
+    cdfs = _endpoint_cdf(t_starts, t_ends, sigmas)
 
     svals_fine = sample_pdf(svals, jax.lax.stop_gradient(cdfs),
                             num_samples, rngs[1], stratified)

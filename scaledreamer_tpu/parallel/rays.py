@@ -67,6 +67,9 @@ def ray_sharded_render(mesh: Mesh, chunk_fn: Callable, params, rays_o,
         params, rays_o, rays_d, extra)
 
 
+_REPLICATION_WARNED: list = []
+
+
 def shard_batch_rays(mesh: Mesh, batch: Dict, row_axis: int = 1) -> Dict:
     """Single-prompt TRAINING ray parallelism: shard pixel ROWS over 'data'.
 
@@ -99,12 +102,16 @@ def shard_batch_rays(mesh: Mesh, batch: Dict, row_axis: int = 1) -> Dict:
                       and arr.shape[row_axis] % n_data == 0)
         any_sharded = any_sharded or shard_rows
         out[k] = _jax.device_put(arr, rows_s if shard_rows else repl)
-    if not any_sharded:
+    if not any_sharded and not _REPLICATION_WARNED:
+        # warn ONCE per process: this runs every train step and the row
+        # count is fixed per resolution milestone
         import logging
         shapes = {k: tuple(np.asarray(batch[k]).shape)
                   for k in ray_keys if k in batch}
         logging.getLogger(__name__).warning(
             "shard_batch_rays: ray row count is not divisible by the "
             "'data' axis (%d) — rays REPLICATED, zero ray parallelism "
-            "this step (shapes: %s)", n_data, shapes)
+            "(shapes: %s). Warned once; applies to every step at this "
+            "resolution.", n_data, shapes)
+        _REPLICATION_WARNED.append(True)
     return out

@@ -184,18 +184,30 @@ class BaseLift3DSystem(BaseObject):
         rcfg = self.renderer.cfg
         ocfg = dict(self.cfg.optimizer)
         if getattr(rcfg, "estimator", None) == "proposal" and \
-                (ocfg.get("params") or {}) and \
+                "prop_net" in params and \
                 "prop_net" not in (ocfg.get("params") or {}):
-            # the prop net must not stay frozen under per-module groups:
-            # inject the group the reference builds a separate optimizer
-            # from (prop_optimizer_config, nerf_volume_renderer.py:76-88)
+            # inject the standalone optimizer group the reference builds a
+            # SEPARATE optimizer from (prop_optimizer_config,
+            # nerf_volume_renderer.py:76-88): explicit `name` means no
+            # main-arg inheritance, and skip_zero_grad makes gated-off
+            # steps true no-ops (the reference only .step()s the prop
+            # optimizer on requires_grad steps)
             pcfg = dict(getattr(rcfg, "prop_optimizer_config", None) or {})
             group = dict(pcfg.get("args", {})) or {"lr": 1e-2}
-            if pcfg.get("name"):
-                group["name"] = pcfg["name"]
+            group["name"] = pcfg.get("name", "Adam")
+            group["skip_zero_grad"] = True
             if getattr(rcfg, "prop_scheduler_config", None):
                 group["scheduler"] = rcfg.prop_scheduler_config
-            ocfg["params"] = {**ocfg["params"], "prop_net": group}
+            groups = dict(ocfg.get("params") or {})
+            if not groups:
+                # no per-module groups existed: synthesize one per other
+                # top-level module so everything else keeps training under
+                # the main optimizer (unlisted would mean frozen)
+                for k in params:
+                    if k != "prop_net":
+                        groups[k] = {}
+            groups["prop_net"] = group
+            ocfg["params"] = groups
             logger.info("proposal estimator: optimizing prop_net with "
                         "group %s", group)
         tx = parse_optimizer(ocfg, params,

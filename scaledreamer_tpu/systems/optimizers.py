@@ -147,19 +147,25 @@ def parse_optimizer(optimizer_cfg: Dict, params,
     prefixes = []
     for gname, gargs in groups.items():
         gargs = dict(gargs or {})
-        # per-group overrides: optimizer name and scheduler (the reference
-        # builds e.g. a separate prop-net optimizer, systems/utils.py /
-        # nerf_volume_renderer.py:76-88)
+        # per-group overrides: optimizer name, scheduler, and zero-grad
+        # skipping (the reference builds e.g. a separate prop-net
+        # optimizer, systems/utils.py / nerf_volume_renderer.py:76-88). A
+        # group with an explicit `name` is a STANDALONE optimizer spec:
+        # it does NOT inherit the main optimizer's betas/eps/weight_decay.
+        standalone = "name" in gargs
         g_opt_name = gargs.pop("name", name)
         g_sched = gargs.pop("scheduler", None)
-        gall = {**args, **gargs}
+        g_skip_zero = gargs.pop("skip_zero_grad", False)
+        gall = gargs if standalone else {**args, **gargs}
         lr = gall.get("lr", args.get("lr", 1e-3))
         if g_sched is not None:
             lr_final = parse_scheduler(g_sched, lr) or lr
         else:
             lr_final = with_schedule(lr)
-        transforms[gname] = _make_single_optimizer(g_opt_name, lr_final,
-                                                   gall)
+        tx_g = _make_single_optimizer(g_opt_name, lr_final, gall)
+        if g_skip_zero:
+            tx_g = _skip_when_all_grads_zero(tx_g)
+        transforms[gname] = tx_g
         prefixes.append(gname)
     transforms["__frozen__"] = optax.set_to_zero()
 
@@ -179,6 +185,34 @@ def parse_optimizer(optimizer_cfg: Dict, params,
             lambda path, _: label_of(path), tree)
 
     return optax.multi_transform(transforms, label_fn)
+
+
+def _skip_when_all_grads_zero(
+        tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Freeze a transform on steps whose incoming grads are ALL zero.
+
+    The reference steps its proposal-net optimizer only on requires_grad
+    steps (nerfacc PropNetEstimator.update_every_n_steps); inside one
+    jitted train step the gate zeroes the prop GRADS, but a bare optimizer
+    would still decay momentum, apply weight decay, and advance its count
+    on those steps. This wrapper makes a zero-grad step a true no-op:
+    updates are zero and the inner state is carried over unchanged."""
+
+    def init_fn(params):
+        return tx.init(params)
+
+    def update_fn(grads, state, params=None):
+        flag = jnp.asarray(False)
+        for g in jax.tree.leaves(grads):
+            flag = jnp.logical_or(flag, jnp.any(g != 0))
+        new_updates, new_state = tx.update(grads, state, params)
+        updates = jax.tree.map(
+            lambda u: jnp.where(flag, u, jnp.zeros_like(u)), new_updates)
+        merged = jax.tree.map(lambda new, old: jnp.where(flag, new, old),
+                              new_state, state)
+        return updates, merged
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _is_ema_buffer(path) -> bool:
@@ -226,11 +260,13 @@ def _scheduler_factor(cfg: Dict, base_lr: float):
         total = int(args.get("total_iters", 5))
         return lambda step: jnp.where(step < total, factor, 1.0)
     if name == "cosineannealinglr":
+        # torch CosineAnnealingLR is PERIODIC (period 2*T_max): no clamp,
+        # the lr rebounds toward base after T_max
         t_max = max(1, int(args.get("T_max", 1)))
         eta_min = float(args.get("eta_min", 0.0))
         fmin = eta_min / base_lr if base_lr else 0.0
         return lambda step: fmin + (1.0 - fmin) * 0.5 * (
-            1.0 + jnp.cos(jnp.pi * jnp.minimum(step, t_max) / t_max))
+            1.0 + jnp.cos(jnp.pi * step / t_max))
     if name in ("sequentiallr", "sequential"):
         subs = [_scheduler_factor(dict(c), base_lr)
                 for c in cfg.get("schedulers", [])]

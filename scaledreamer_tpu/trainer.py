@@ -138,14 +138,17 @@ class Trainer:
     def _val_batch_limit(self, n_total: Optional[int] = None
                          ) -> Optional[int]:
         """PL limit_val_batches semantics: int = batch count, float in
-        (0, 1] = fraction of the orbit, 0 = skip validation."""
+        (0, 1] = fraction of the orbit (1.0 = full orbit, PL's default),
+        0 = skip validation."""
         lim = self.cfg.limit_val_batches
         if lim is None:
             return None
+        if isinstance(lim, float) and lim == 1.0:
+            return None  # PL: float 1.0 means ALL batches
         limf = float(lim)
         if limf == 0:
             return 0
-        if 0 < limf < 1:
+        if isinstance(lim, float) and 0 < limf < 1:
             if n_total is None:
                 logger.warning("fractional limit_val_batches=%s needs a "
                                "sized val dataset; running the full orbit",

@@ -334,3 +334,33 @@ def test_training_ray_sharding_single_prompt_matches_replicated():
     loss_s = float(np.asarray(m_s["loss"]))
     assert np.isfinite(loss_s)
     assert loss_s == pytest.approx(loss_r, rel=2e-3), (loss_s, loss_r)
+
+def test_shard_batch_rays_warns_on_replication(caplog):
+    """ADVICE r3: non-divisible ray rows must WARN when falling back to
+    replication (zero ray parallelism), not proceed silently."""
+    import logging
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from scaledreamer_tpu.parallel import rays as rays_mod
+    from scaledreamer_tpu.parallel import shard_batch_rays
+
+    rays_mod._REPLICATION_WARNED.clear()  # once-per-process flag
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:8]), ("data",))
+    batch = {"rays_o": np.zeros((1, 7, 7, 3), np.float32),  # 7 % 8 != 0
+             "rays_d": np.zeros((1, 7, 7, 3), np.float32)}
+    with caplog.at_level(logging.WARNING,
+                         logger="scaledreamer_tpu.parallel.rays"):
+        out = shard_batch_rays(mesh, batch)
+    assert "REPLICATED" in caplog.text
+    assert out["rays_o"].shape == (1, 7, 7, 3)
+
+    caplog.clear()
+    batch_ok = {"rays_o": np.zeros((1, 8, 8, 3), np.float32),
+                "rays_d": np.zeros((1, 8, 8, 3), np.float32)}
+    with caplog.at_level(logging.WARNING,
+                         logger="scaledreamer_tpu.parallel.rays"):
+        shard_batch_rays(mesh, batch_ok)
+    assert "REPLICATED" not in caplog.text

@@ -196,3 +196,63 @@ def test_scheduler_unknown_name_raises():
     from scaledreamer_tpu.systems.optimizers import parse_scheduler
     with pytest.raises(ValueError, match="Unknown scheduler"):
         parse_scheduler({"name": "NoSuchLR"}, base_lr=1.0)
+
+def test_skip_zero_grad_group_freezes_on_gated_steps():
+    """prop_net group parity with the reference's separate optimizer: a
+    zero-grad (gated-off) step is a TRUE no-op — no momentum decay, no
+    weight-decay drift, no count advance."""
+    from scaledreamer_tpu.systems.optimizers import parse_optimizer
+
+    params = {"prop_net": {"w": jnp.ones(3)}, "geometry": {"w": jnp.ones(3)}}
+    tx = parse_optimizer(
+        {"name": "AdamW", "args": {"lr": 0.1, "weight_decay": 0.1},
+         "params": {"geometry": {},
+                    "prop_net": {"name": "Adam", "lr": 0.01,
+                                 "skip_zero_grad": True}}}, params)
+    state = tx.init(params)
+    g_active = jax.tree.map(jnp.ones_like, params)
+    g_gated = {"prop_net": {"w": jnp.zeros(3)},
+               "geometry": {"w": jnp.ones(3)}}
+
+    u1, state_a = tx.update(g_active, state, params)
+    assert float(jnp.abs(u1["prop_net"]["w"]).sum()) > 0
+
+    # gated step: prop update exactly zero (AdamW momentum/wd would
+    # otherwise still move it), geometry still updates
+    u0, state_b = tx.update(g_gated, state_a, params)
+    assert float(jnp.abs(u0["prop_net"]["w"]).sum()) == 0.0
+    assert float(jnp.abs(u0["geometry"]["w"]).sum()) > 0
+
+    # the gated step left the prop inner state untouched: an active step
+    # now gives the same update as one taken directly after state_a
+    u_direct, _ = tx.update(g_active, state_a, params)
+    u_resumed, _ = tx.update(g_active, state_b, params)
+    assert np.allclose(np.asarray(u_direct["prop_net"]["w"]),
+                       np.asarray(u_resumed["prop_net"]["w"]))
+
+
+def test_standalone_group_does_not_inherit_main_args():
+    """A group with an explicit `name` is a standalone optimizer spec: it
+    must not inherit the main optimizer's weight_decay/betas."""
+    from scaledreamer_tpu.systems.optimizers import parse_optimizer
+
+    params = {"a": jnp.ones(4)}
+    grads = {"a": jnp.zeros(4)}  # zero grads isolate the decay term
+    # main AdamW with huge weight decay; group spec = plain Adam (no wd)
+    tx = parse_optimizer(
+        {"name": "AdamW", "args": {"lr": 0.1, "weight_decay": 10.0},
+         "params": {"a": {"name": "Adam", "lr": 0.1}}}, params)
+    state = tx.init(params)
+    u, _ = tx.update(grads, state, params)
+    # inherited weight decay would give a nonzero decay update
+    assert float(jnp.abs(u["a"]).max()) < 1e-6
+
+
+def test_cosine_annealing_is_periodic():
+    from scaledreamer_tpu.systems.optimizers import parse_scheduler
+    sched = parse_scheduler(
+        {"name": "CosineAnnealingLR", "interval": "step",
+         "args": {"T_max": 10, "eta_min": 0.0}}, base_lr=1.0)
+    assert np.isclose(float(sched(0)), 1.0)
+    assert np.isclose(float(sched(10)), 0.0, atol=1e-6)
+    assert np.isclose(float(sched(20)), 1.0)  # torch rebound, no clamp

@@ -306,6 +306,11 @@ def test_nerf_renderer_proposal_estimator():
                   for g in jax.tree.leaves(sub))
     assert g_other == 0.0, g_other
 
+    # eval path: proposal sampling without the loss, finite render
+    out_eval = renderer.apply(variables, rays_o, rays_d, train=False)
+    assert "prop_loss" not in out_eval
+    assert np.isfinite(np.asarray(out_eval["comp_rgb"])).all()
+
 
 def test_nerf_renderer_unknown_estimator_raises():
     Renderer = sd.find("nerf-volume-renderer")

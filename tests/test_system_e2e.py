@@ -257,6 +257,10 @@ def test_training_with_proposal_estimator(tmp_path):
                                "n_hidden_layers": 1}},
         "prop_optimizer_config": {"name": "Adam", "args": {"lr": 0.01}},
     })
+    # NO per-module groups: exercises the synthesized-groups injection
+    # path (prop_net gets its standalone optimizer, everything else keeps
+    # training under the main one)
+    cfg["system"]["optimizer"] = {"name": "Adam", "args": {"lr": 0.01}}
     cfg["trainer"] = {"max_steps": 6, "log_every_n_steps": 2,
                       "val_check_interval": 0}
     cfg_path = tmp_path / "prop.yaml"
@@ -292,6 +296,12 @@ def test_training_with_proposal_estimator(tmp_path):
             jax.tree.leaves(state.params["prop_net"]),
             jax.tree.leaves(prop0)))
     assert moved, "prop_net params did not move"
+    # the synthesized groups kept the radiance field training too
+    geo_moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(
+            jax.tree.leaves(state.params["geometry"]),
+            jax.tree.leaves(state0.params["geometry"])))
+    assert geo_moved, "geometry froze under the injected groups"
 
 
 def test_limit_val_batches_truncates_orbit(smoke_run):
