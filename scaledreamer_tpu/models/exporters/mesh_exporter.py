@@ -15,6 +15,7 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +45,12 @@ class MeshExporter(BaseObject):
         context_type: str = "cpu"
         isosurface_resolution: int = 128
         isosurface_coarse_to_fine: bool = True
+        # amortized generators only: which prompt's radiance field to
+        # export (the space_cache is generated from this prompt with zero
+        # noise). BEYOND REFERENCE: the reference's predict path cannot
+        # export its generators at all (forward_field needs a space_cache
+        # it never builds).
+        prompt: Optional[str] = None
 
     cfg: Config
 
@@ -199,7 +206,11 @@ class DummyExporter(BaseObject):
 
 
 def run_export(system, state, cfg, save_dir: str):
-    """Launcher hook (reference systems/base.py:317-342 predict path)."""
+    """Launcher hook (reference systems/base.py:317-342 predict path).
+
+    Amortized systems additionally need a per-prompt space_cache;
+    `system.exporter.prompt="..."` selects which prompt to export (beyond
+    the reference, whose predict path cannot export its generators)."""
     from ...core.config import parse_structured
     from ... import find
 
@@ -207,4 +218,20 @@ def run_export(system, state, cfg, save_dir: str):
     exp_cls = find(exp_type)
     exporter = exp_cls(cfg=parse_structured(
         exp_cls.Config, cfg.system.get("exporter", {})))
-    return exporter(system, state, os.path.join(save_dir, "export"))
+    space_cache = None
+    needs_cache = hasattr(system, "build_space_cache_for_prompt") and \
+        hasattr(system.geometry, "generate_space_cache")
+    if needs_cache:
+        prompt = getattr(exporter.cfg, "prompt", None)
+        if not prompt:
+            raise ValueError(
+                "exporting an amortized generator needs a prompt: set "
+                'system.exporter.prompt="..." (the space_cache is built '
+                "from its embedding with zero noise)")
+        noise_dim = int((cfg.data or {}).get("dim_gaussian", 16))
+        space_cache = system.build_space_cache_for_prompt(
+            state, prompt, noise_dim=noise_dim)
+        logger.info("Exporting amortized field for prompt %r", prompt)
+    kwargs = {"space_cache": space_cache} if space_cache is not None else {}
+    return exporter(system, state, os.path.join(save_dir, "export"),
+                    **kwargs)

@@ -93,6 +93,21 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
             kwargs["noise"] = batch["noise"]
         return kwargs
 
+    def build_space_cache_for_prompt(self, state, prompt: str,
+                                     noise_dim: int = 16):
+        """Space cache for ONE prompt (zero noise, the Dataset4FixPrompt
+        eval convention) — powers `--export` on amortized configs. Beyond
+        the reference: its predict path cannot export the generators
+        (hyper_iNGP.py:351-373 forward_field needs a space_cache the
+        exporter never builds)."""
+        po = self.prompt_processor(prompt=[prompt])
+        text_embed = jnp.asarray(np.asarray(po.global_text_embeddings))
+        noise = jnp.zeros((1, noise_dim), jnp.float32)
+        return self.geometry.apply(
+            {"params": state.params["geometry"]}, styles=noise,
+            text_embed=text_embed,
+            method=self.geometry.generate_space_cache)
+
     # ------------------------------------------------------------------
     def init_state(self, rng, sample_batch):
         sample_batch = self.prepare_batch(sample_batch)
