@@ -46,13 +46,22 @@ def _save_embedding_cache(model: str, prompts, local, glob, cache_dir: str):
                 g.astype(np.float32))
 
 
+# corpus-scale bound on encode transients: embeddings are encoded and
+# flushed to the cache CHUNK variants at a time, never all at once (100k
+# prompts x 5 variants x 77x1024 f32 would be ~150 GB if stacked whole)
+_ENCODE_CHUNK = 1024
+
+
 def _spawn_encode_and_cache(model: str, prompts, cache_dir: str):
     """Subprocess target (reference spawn_func,
     custom/.../stable_diffusion_multi_prompt_processor.py:40-92): encode
     with CLIP and write the md5-keyed cache, then exit — releasing all
     encoder memory to the OS."""
-    local, glob = encode_with_clip(model, list(prompts))
-    _save_embedding_cache(model, list(prompts), local, glob, cache_dir)
+    prompts = list(prompts)
+    for i in range(0, len(prompts), _ENCODE_CHUNK):
+        sub = prompts[i:i + _ENCODE_CHUNK]
+        local, glob = encode_with_clip(model, sub)
+        _save_embedding_cache(model, sub, local, glob, cache_dir)
 
 
 @register("stable-diffusion-multi-prompt-processor")
@@ -82,6 +91,9 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
         use_local_text_embeddings: bool = False
 
     cfg: Config
+    # corpus size above which locals are served from ONE packed memmap
+    # (class attr so tests can lower it; see _load_packed_locals)
+    _BIG_THRESHOLD = 512
 
     def configure(self) -> None:
         self.templates = direction_templates(
@@ -160,8 +172,11 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
                     f"spawned text-encoder process failed "
                     f"(exit {proc.exitcode})")
             return
-        local, glob = self._encode(needed)
-        _save_embedding_cache(model, needed, local, glob, self.cfg.cache_dir)
+        for i in range(0, len(needed), _ENCODE_CHUNK):
+            sub = needed[i:i + _ENCODE_CHUNK]
+            local, glob = self._encode(sub)
+            _save_embedding_cache(model, sub, local, glob,
+                                  self.cfg.cache_dir)
 
     def load_text_embeddings(self) -> None:
         """Load the shard's embeddings (reference base.py:313-370).
@@ -169,23 +184,73 @@ class StableDiffusionMultiPromptProcessor(BaseObject):
         77-token local embeddings are MEMORY-MAPPED, not loaded: at CP100k
         scale the shard's locals are tens of GB (SURVEY §7.3-7) and each
         step touches only the sampled prompts' rows — np.stack at batch
-        time pages in exactly those. Tiny pooled globals load eagerly."""
+        time pages in exactly those. Tiny pooled globals load eagerly.
+        Above the `big` threshold all locals live in ONE packed memmap
+        (per-file mmaps hold an fd each; 86k cache files blow EMFILE at
+        DL17k scale — found by scripts/exercise_corpus_scale.py)."""
         self.local_text_embeddings = {}
         self.global_text_embeddings = {}
         self.text_embeddings_vd = {}
-        big = len(self.all_prompts) > 512
-        mmap = "r" if big else None
+        big = len(self.all_prompts) > self._BIG_THRESHOLD
+        if big:
+            self._load_packed_locals()
+            return
         for p in self.all_prompts:
             lp, gp = self._cache_paths(p)
-            self.local_text_embeddings[p] = np.load(lp, mmap_mode=mmap)
+            self.local_text_embeddings[p] = np.load(lp)
             self.global_text_embeddings[p] = np.load(gp)
             vd = []
             for d in DIRECTION_NAMES:
                 lpd, _ = self._cache_paths(self.templates[d](p))
-                vd.append(np.load(lpd, mmap_mode=mmap))
-            # keep vd as a list of (possibly mmapped) arrays; stacked lazily
-            self.text_embeddings_vd[p] = (
-                vd if big else np.stack(vd))
+                vd.append(np.load(lpd))
+            self.text_embeddings_vd[p] = np.stack(vd)
+
+    def _load_packed_locals(self) -> None:
+        """Corpus-scale locals: consolidate every variant's 77-token local
+        into a single .npy, memory-map it ONCE, and hand out row views.
+        One fd + demand paging of only the sampled rows, at any corpus
+        size. The pack is keyed by (model, variant set) and built from the
+        per-variant cache on first use (~sequential IO)."""
+        import hashlib
+        model = str(self.cfg.pretrained_model_name_or_path)
+        variants = []
+        for p in self.all_prompts:
+            variants.append(p)
+            variants.extend(self.templates[d](p) for d in DIRECTION_NAMES)
+        variants = list(dict.fromkeys(variants))
+        key = hashlib.md5(
+            (model + "\x00".join(sorted(variants))).encode()).hexdigest()
+        pack_path = os.path.join(self.cfg.cache_dir, f"pack_{key}.npy")
+        idx_path = pack_path + ".index.json"
+        if not (os.path.exists(pack_path) and os.path.exists(idx_path)):
+            logger.info("Packing %d local embeddings into %s ...",
+                        len(variants), pack_path)
+            from numpy.lib import format as npfmt
+            first = np.load(self._cache_paths(variants[0])[0])
+            shape = (len(variants), *first.shape)
+            # STREAM the rows through a plain file handle: a w+ memmap
+            # would hold every written page dirty-resident (measured 20 GB
+            # peak RSS at DL17k scale); sequential writes keep RSS flat
+            with open(pack_path, "wb") as f:
+                npfmt.write_array_header_1_0(
+                    f, {"descr": "<f4", "fortran_order": False,
+                        "shape": shape})
+                for v in variants:
+                    row = np.ascontiguousarray(
+                        np.load(self._cache_paths(v)[0]), dtype=np.float32)
+                    assert row.shape == first.shape, (v, row.shape)
+                    row.tofile(f)
+            with open(idx_path, "w") as f:
+                json.dump({v: i for i, v in enumerate(variants)}, f)
+        with open(idx_path) as f:
+            index = json.load(f)
+        pack = np.load(pack_path, mmap_mode="r")
+        self._local_pack = pack  # ONE fd for every local embedding
+        for p in self.all_prompts:
+            self.local_text_embeddings[p] = pack[index[p]]
+            self.global_text_embeddings[p] = np.load(self._cache_paths(p)[1])
+            self.text_embeddings_vd[p] = [
+                pack[index[self.templates[d](p)]] for d in DIRECTION_NAMES]
 
     # ------------------------------------------------------------------
     def __call__(self, prompt) -> PromptProcessorOutput:

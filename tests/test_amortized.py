@@ -301,3 +301,49 @@ def test_prop_encode_levels_render_close_to_parity(jax_key):
     # proposal truncation only perturbs sample placement
     d = float(jnp.abs(outs[0]["comp_rgb"] - outs[2]["comp_rgb"]).max())
     assert np.isfinite(d) and d < 0.15, d
+
+def test_multiprompt_packed_locals_match_eager(prompt_library, tmp_path,
+                                               monkeypatch):
+    """Corpus-scale locals: above _BIG_THRESHOLD every local embedding is
+    served as a row view of ONE packed memmap (per-file mmaps hold an fd
+    each — 86k files blew EMFILE at DL17k scale). The packed outputs must
+    be bit-identical to the eager small-library path."""
+    import scaledreamer_tpu as sd
+    from scaledreamer_tpu.core.config import parse_structured
+
+    sd.ensure_builtins()
+    cls = sd.find("stable-diffusion-multi-prompt-processor")
+    cfg = {
+        "prompt_library": "tiny_library",
+        "prompt_library_dir": prompt_library,
+        "pretrained_model_name_or_path": "__offline__",
+        "use_perp_neg": True,
+        "cache_dir": str(tmp_path / "cache"),
+    }
+    eager = cls(cfg=parse_structured(cls.Config, cfg))
+    prompts = eager.prompt_library["train"][:2]
+    out_eager = eager(prompt=list(prompts))
+
+    monkeypatch.setattr(cls, "_BIG_THRESHOLD", 1)
+    packed = cls(cfg=parse_structured(cls.Config, cfg))
+    assert isinstance(next(iter(packed.local_text_embeddings.values())),
+                      np.memmap)
+    assert hasattr(packed, "_local_pack")
+    out_packed = packed(prompt=list(prompts))
+
+    np.testing.assert_array_equal(np.asarray(out_eager.text_embeddings),
+                                  np.asarray(out_packed.text_embeddings))
+    np.testing.assert_array_equal(
+        np.asarray(out_eager.text_embeddings_vd),
+        np.asarray(out_packed.text_embeddings_vd))
+    np.testing.assert_array_equal(
+        np.asarray(out_eager.global_text_embeddings),
+        np.asarray(out_packed.global_text_embeddings))
+
+    # second construction reuses the pack (no rebuild)
+    import os
+    packs = [f for f in os.listdir(str(tmp_path / "cache"))
+             if f.startswith("pack_") and f.endswith(".npy")]
+    assert len(packs) == 1
+    again = cls(cfg=parse_structured(cls.Config, cfg))
+    assert again(prompt=list(prompts)) is not None
