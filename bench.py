@@ -259,6 +259,14 @@ if __name__ == "__main__":
     if platform is None:
         _emit_error("tpu_unavailable", probe_err)
         sys.exit(0)
+    if platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        # A CPU it/s number against the TPU baseline is worse than an
+        # explicit error (the axon plugin can be absent from a sanitized
+        # env while the chip itself is fine). BENCH_ALLOW_CPU=1 opts in.
+        _emit_error("tpu_unavailable",
+                    "probe found cpu only (set BENCH_ALLOW_CPU=1 to "
+                    "benchmark on cpu anyway)")
+        sys.exit(0)
     print(f"bench: backend probe OK, platform={platform}",
           file=sys.stderr, flush=True)
     try:
