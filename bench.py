@@ -67,25 +67,20 @@ def _probe_backend(timeout_s: float) -> str:
         p.returncode, (p.stderr or "").strip()[-500:]))
 
 
-def main():
-    import contextlib
+def _build_and_warmup(chunk_size: int, n_warmup: int):
+    """Build the north-star workload at the given ray-chunk size and run
+    the compiling warmup steps.
 
+    Split out of main() so a compile-memory failure (HBM exhaustion in
+    XLA's memory planner, or an axon remote-compile-helper 500) can be
+    retried at a smaller chunk instead of dying with value 0.0 — the r4
+    BENCH_B=4 failure mode (VERDICT r4 #9). Raises on failure.
+    """
     import jax
     import numpy as np
 
-    cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",
-                               os.path.expanduser("~/.cache/sdtpu_xla"))
-    with contextlib.suppress(Exception):
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
-
     import scaledreamer_tpu as sd
     from scaledreamer_tpu.core.config import load_config, parse_structured
-
-    sd.ensure_builtins()
-
-    n_steps = int(os.environ.get("BENCH_STEPS", 20))
-    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
 
     cfg = load_config(
         "configs/multi-prompt_benchmark/asd_sd_hyper_iNGP_50k.yaml",
@@ -102,9 +97,9 @@ def main():
             # workload parity
             "data.batch_size=" + os.environ.get("BENCH_B", "1"),
             # unchunked fits on the 16 GB v5e once the x-grad path and
-            # packing shrink the encode transients (0.285 -> 0.298 it/s)
-            "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "0"),
+            # packing shrink the encode transients (0.285 -> 0.298 it/s);
+            # at B>1 the fallback ladder in main() picks a fitting chunk
+            "system.renderer.train_chunk_size=" + str(chunk_size),
             # TPU-first: exact analytic normals via jax.grad replace the
             # reference's 4x finite-difference point evaluations
             # (SURVEY.md §7.3-4); numerically equivalent, ~2x fewer gathers
@@ -155,18 +150,70 @@ def main():
     train_step = system.make_train_step()
     gp = system.guidance_params
 
-    def run_step(i):
+    def run_step(state, i):
         b = system.prepare_batch(dm.train_batch())
         jb = {k: v for k, v in b.items()
               if isinstance(v, (np.ndarray, jax.Array))}
         scalars = system.schedule_scalars(0, i)
         return train_step(state, gp, jb, scalars, jax.random.fold_in(rng, i))
 
-    # warmup (compile)
+    # warmup (compile) — this is where compile-memory failures surface
     for i in range(n_warmup):
-        st, metrics = run_step(i)
-        state = st
-    jax.block_until_ready(state.params)
+        state, metrics = run_step(state, i)
+    float(np.asarray(metrics["loss"]))  # force completion through the relay
+    return cfg, dm, system, state, run_step, batch
+
+
+def main():
+    import contextlib
+
+    import jax
+    import numpy as np
+
+    cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/sdtpu_xla"))
+    with contextlib.suppress(Exception):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import scaledreamer_tpu as sd
+
+    sd.ensure_builtins()
+
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
+    n_warmup = int(os.environ.get("BENCH_WARMUP", 3))
+    batch_size = int(os.environ.get("BENCH_B", "1"))
+    requested_chunk = int(os.environ.get("BENCH_CHUNK", "0"))
+
+    # Fallback ladder (VERDICT r4 #9): start at the requested ray-chunk
+    # (0 = unchunked), and on a compile/HBM failure retry with the ray
+    # dimension halved until the program fits. Each rung bounds the live
+    # point count (rays_per_chunk x samples) the hashgrid backward must
+    # hold; B=1 unchunked (4096 rays) is measured-known to fit, so the
+    # ladder ends at 4096 and below only for safety.
+    total_rays = batch_size * 64 * 64
+    ladder = [requested_chunk]
+    c = total_rays if requested_chunk == 0 else requested_chunk
+    while c > 2048:
+        c //= 2
+        ladder.append(c)
+
+    built = None
+    attempts = []
+    for rung in ladder:
+        try:
+            built = _build_and_warmup(rung, n_warmup)
+            used_chunk = rung
+            break
+        except Exception as e:
+            msg = f"{type(e).__name__}: {e}"
+            attempts.append({"chunk": rung, "error": msg[:300]})
+            print(f"bench: chunk={rung} failed ({msg[:200]}); "
+                  f"trying next rung", file=sys.stderr, flush=True)
+    if built is None:
+        _emit_error("compile_failed_all_chunks", json.dumps(attempts))
+        return 0
+    cfg, dm, system, state, run_step, batch = built
 
     # headline: pipelined throughput — N steps timed against ONE final
     # scalar readback (how real training runs: metrics sync only at log
@@ -176,7 +223,7 @@ def main():
     # drains, so the wall clock covers every queued step.
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_steps):
-        state, metrics = run_step(i)
+        state, metrics = run_step(state, i)
         if os.environ.get("BENCH_PRINT_LOSS"):
             print(f"step {i}: loss={float(np.asarray(metrics['loss'])):.3f} "
                   f"asd={float(np.asarray(metrics['loss_asd'])):.3f} "
@@ -190,7 +237,7 @@ def main():
     t1 = time.perf_counter()
     n_sync = max(4, n_steps // 4)
     for i in range(n_warmup + n_steps, n_warmup + n_steps + n_sync):
-        state, metrics = run_step(i)
+        state, metrics = run_step(state, i)
         loss_val = float(np.asarray(metrics["loss"]))
     sync_iters_per_sec = n_sync / (time.perf_counter() - t1)
 
@@ -207,14 +254,21 @@ def main():
         "metric": "asd_iters_per_sec",
         "value": round(iters_per_sec, 4),
         "unit": "it/s",
+        # NOTE: denominator is an ESTIMATE — the reference publishes no
+        # numbers (BASELINE.md); this field is a projection, not a
+        # measured-baseline ratio (VERDICT r4 #10)
         "vs_baseline": round(iters_per_sec / ESTIMATED_A100_ITERS_PER_SEC, 4),
         "detail": {
-            "workload": "hyper_ingp_asd_sd_64px_b1_importance128to64",
+            "workload": f"hyper_ingp_asd_sd_64px_b{B}_importance128to64",
+            "vs_baseline_note": ("denominator is an estimated A100 rate "
+                                 f"({ESTIMATED_A100_ITERS_PER_SEC} it/s, "
+                                 "unpublished) — not a measurement"),
             "encode": {
                 "interpolation": os.environ.get("BENCH_INTERP", "Simplex"),
                 "dense_cell_packing": os.environ.get("BENCH_PACKING",
                                                      "true") == "true",
-                "train_chunk_size": int(os.environ.get("BENCH_CHUNK", "0")),
+                "train_chunk_size": used_chunk,
+                "chunk_fallback_attempts": attempts,
                 "prop_encode_levels": int(
                     os.environ.get("BENCH_PROP_LEVELS", "3")),
                 "reslice_8x4": os.environ.get("BENCH_RESLICE", "1") == "1",

@@ -20,10 +20,14 @@ from __future__ import annotations
 import math
 from typing import Any, Dict
 
-_EPOCH_MODE_WARNED: list = []
+def C(value: Any, epoch, global_step: int, interpolation: str = "linear") -> float:
+    """Reference-parity scalar schedule (reference threestudio/utils/misc.py:66-101).
 
-
-def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -> float:
+    epoch may be None: the trainer passes None when no epoch axis is
+    configured (trainer.steps_per_epoch == 0), which makes epoch-mode
+    schedules (float end_step) an explicit error instead of a silent
+    freeze at the start value.
+    """
     if isinstance(value, (int, float)):
         return value
     value = list(value)
@@ -46,18 +50,19 @@ def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -
     if len(value) != 4:
         raise ValueError(f"Bad schedule spec: {value}")
     start_step, start_value, end_value, end_step = value
-    if isinstance(end_step, float) and not _EPOCH_MODE_WARNED:
+    if isinstance(end_step, float) and epoch is None:
         # float end_step selects EPOCH interpolation (reference
         # misc.py:84-95). The trainer is step-based over infinite iterable
-        # datasets and always passes epoch 0 (the reference's PL epochs
-        # never complete either) — an epoch-mode schedule stays frozen at
-        # its start value. Warn once instead of silently misbehaving.
-        import logging
-        logging.getLogger(__name__).warning(
-            "C() schedule %s uses EPOCH interpolation (float end_step); "
-            "the training loop has no epoch axis (always 0), so this "
-            "schedule will never advance — use integer steps", value)
-        _EPOCH_MODE_WARNED.append(True)
+        # datasets; unless trainer.steps_per_epoch defines an epoch axis,
+        # an epoch-mode schedule would stay frozen at its start value
+        # forever — reject it instead of silently misbehaving (the
+        # reference has the same trap: its PL epochs over infinite
+        # iterable datasets never advance either).
+        raise ValueError(
+            f"C() schedule {value} uses EPOCH interpolation (float "
+            "end_step) but the trainer has no epoch axis — set "
+            "trainer.steps_per_epoch to define the epoch length, or use "
+            "integer steps")
     current = epoch if isinstance(end_step, float) else global_step
     denom = end_step - start_step
     t = 1.0 if denom == 0 else (current - start_step) / denom

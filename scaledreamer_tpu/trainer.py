@@ -52,6 +52,12 @@ class TrainerConfig:
     accumulate_grad_batches: int = 1
     occ_update_interval: int = 16
     strategy: str = ""
+    # Epoch axis for C() schedules with float end_step (reference
+    # misc.py:84-95 epoch interpolation). 0 = no epoch axis: the training
+    # loop is step-based over infinite iterable datasets (like the
+    # reference's PL setup, whose epochs never advance), and an epoch-mode
+    # schedule RAISES instead of silently freezing at its start value.
+    steps_per_epoch: int = 0
     # multi-device batch semantics: "batch" multiplies the per-device
     # batch over the data mesh (reference DDP); "rays" keeps the global
     # batch and shards PIXEL ROWS over the mesh instead — the TPU-native
@@ -230,7 +236,9 @@ class Trainer:
                 logger.info("Resolution milestone: %s -> %s (recompiling)",
                             cur_shape, shape)
             cur_shape = shape
-            scalars = self.system.schedule_scalars(0, step)
+            epoch = (step // self.cfg.steps_per_epoch
+                     if self.cfg.steps_per_epoch > 0 else None)
+            scalars = self.system.schedule_scalars(epoch, step)
             step_rng = jax.random.fold_in(rng, step)
 
             if occ_update is not None and state.occ_grid is not None and \

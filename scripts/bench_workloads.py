@@ -5,7 +5,13 @@ for a few honest steps (per-step scalar readback; the axon relay's
 block_until_ready returns early) and prints one JSON line per row.
 
 Usage: python scripts/bench_workloads.py [row ...]
-Rows: sd_nerf mv_nerf hyper_ingp conv3d conv3d_300k triplane (default: all)
+Rows: sd_nerf sd_nerf_256 mv_nerf hyper_ingp conv3d conv3d_300k triplane
+(default: all, never-measured rows first).
+
+Resumable: each finished row is written to $BENCH_RESULTS/<row>.json
+(default outputs/_bench_rows). With BENCH_RESUME=1 rows that already have
+a result file are skipped, so a timed-out queue can be relaunched without
+re-burning chip time on the rows that finished (VERDICT r4 #3).
 """
 
 from __future__ import annotations
@@ -66,6 +72,33 @@ WORKLOADS = {
             "system.renderer.prop_encode_levels="
             + os.environ.get("BENCH_PROP_LEVELS", "3"),
         ] + _RESLICE),
+    # sd_nerf at the 256² milestone stage: the reference workload spends
+    # 15k of its 25k steps here (resolution milestone at 10k,
+    # reference configs/single-prompt_benchmark/asd_sd_nerf.yaml) — the
+    # dominant-cost stage, never timed before r5 (VERDICT r4 missing #4).
+    # 65536 rays/step: ray-chunked by default to fit 16 GB HBM
+    # (BENCH_CHUNK_256=0 to retry unchunked).
+    "sd_nerf_256": dict(
+        config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
+        overrides=OFFLINE + SD_OFFLINE + [
+            "tag=bench_sd_nerf_256",
+            "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            'system.prompt_processor.prompt="a benchmark object"',
+            "data.width=256", "data.height=256", "data.batch_size=1",
+            "data.resolution_milestones=[]",
+            "system.renderer.train_chunk_size="
+            + os.environ.get("BENCH_CHUNK_256", "8192"),
+            "system.geometry.normal_type="
+            + os.environ.get("BENCH_NORMALS", "analytic"),
+            "system.geometry.pos_encoding_config.interpolation="
+            + os.environ.get("BENCH_INTERP", "Simplex"),
+            "system.geometry.pos_encoding_config.dense_cell_packing="
+            + os.environ.get("BENCH_PACKING", "true"),
+            "system.renderer.num_samples_compact="
+            + os.environ.get("BENCH_COMPACT", "128"),
+            "system.renderer.prop_encode_levels="
+            + os.environ.get("BENCH_PROP_LEVELS", "3"),
+        ] + _RESLICE),
     # single-prompt ASD-MVDream NeRF (B=4 views, 256 samples/ray)
     "mv_nerf": dict(
         config="configs/single-prompt_benchmark/asd_mv_nerf.yaml",
@@ -73,11 +106,11 @@ WORKLOADS = {
             "tag=bench_mv_nerf",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
             'system.prompt_processor.prompt="a benchmark object"',
-            # 4-view batch at 256 samples/ray: chunk rays to bound compile
-            # + runtime memory on the 16 GB chip (unchunked still crashes
-            # the axon remote-compile helper, retried r3)
+            # unchunked default since r4: the compaction levers shrank the
+            # program enough that the unchunked step compiles AND runs
+            # 2.2x the chunked rate (0.3659 vs 0.1675 it/s, r4 measured)
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "2048"),
+            + os.environ.get("BENCH_CHUNK", "0"),
             # TPU-first encode options (measured-best, same set as the
             # hyper_ingp row): analytic normals share the fused
             # encode+grad; Simplex halves gather rows vs trilinear.
@@ -147,8 +180,10 @@ WORKLOADS = {
             "tag=bench_triplane",
             "system.prompt_processor.prompt_library=magic3d_15_prompt_library",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
+            # unchunked default since r4 (0.3107 it/s measured vs 0.305
+            # at ray-chunk 1024 in r2; the r2 compile crash is gone)
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK", "2048"),
+            + os.environ.get("BENCH_CHUNK", "0"),
         ]),
 }
 
@@ -228,16 +263,36 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
     }
 
 
+# queue order when no rows are given: never-measured rows first so a
+# timed-out queue still advances coverage (VERDICT r4 #3 — the conv3d
+# family ran last for three rounds and never produced a number)
+DEFAULT_ORDER = ["conv3d", "conv3d_300k", "sd_nerf_256", "triplane",
+                 "sd_nerf", "mv_nerf", "hyper_ingp"]
+
+
 def main():
-    rows = sys.argv[1:] or list(WORKLOADS)
-    n_steps = int(os.environ.get("BENCH_STEPS", 6))
+    rows = sys.argv[1:] or [r for r in DEFAULT_ORDER if r in WORKLOADS]
+    n_steps = int(os.environ.get("BENCH_STEPS", 20))
     n_warmup = int(os.environ.get("BENCH_WARMUP", 2))
+    results_dir = os.environ.get("BENCH_RESULTS", "outputs/_bench_rows")
+    os.makedirs(results_dir, exist_ok=True)
     results = []
     for name in rows:
+        row_path = os.path.join(results_dir, f"{name}.json")
+        if os.environ.get("BENCH_RESUME") == "1" and os.path.exists(row_path):
+            with open(row_path) as f:
+                prev = json.load(f)
+            if "error" not in prev:  # failed rows always re-run
+                prev["resumed_from"] = row_path
+                print(json.dumps(prev), flush=True)
+                results.append(prev)
+                continue
         try:
             r = bench_one(name, n_steps, n_warmup)
         except Exception as e:  # keep going; report the failure
             r = {"workload": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        with open(row_path, "w") as f:
+            json.dump(r, f)
         print(json.dumps(r), flush=True)
         results.append(r)
     return 0

@@ -1,0 +1,50 @@
+#!/usr/bin/env bash
+# The round-5 measurement queue. One process per config (TPU compile-cache
+# keys are nondeterministic across processes); bench_workloads.py runs its
+# rows inside ONE process, resumable via BENCH_RESUME=1 (finished rows are
+# skipped on relaunch — VERDICT r4 #3). Default windows are 20 timed steps
+# everywhere (VERDICT r4 #7).
+#
+#   bash scripts/measure_round5.sh [logdir]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+LOG=${1:-outputs/_measure_r5}
+mkdir -p "$LOG"
+echo "[measure_round5] logging to $LOG"
+
+run() { # name, cmd...  (skippable on relaunch once a clean result exists;
+        # the workloads step is exempt — its per-row resume is finer-grained)
+  local name=$1; shift
+  if [ "$name" != workloads ] && [ -s "$LOG/$name.out" ] && \
+     grep -q '"' "$LOG/$name.out" && ! grep -q '"error"' "$LOG/$name.out"; then
+    echo "[measure_round5] <<< $name already done, skipping"
+    return 0
+  fi
+  echo "[measure_round5] >>> $name : $*"
+  timeout "${MEASURE_TIMEOUT:-5400}" "$@" 2>"$LOG/$name.err" \
+    | tee "$LOG/$name.out" || echo "[measure_round5] $name FAILED rc=$?"
+}
+
+# 1. All 7 workload rows, never-measured first (conv3d, conv3d_300k,
+#    sd_nerf_256 lead the default order), 20-step windows, resumable.
+MEASURE_TIMEOUT=14400 run workloads env BENCH_RESUME=1 \
+    BENCH_RESULTS="$LOG/rows" python scripts/bench_workloads.py
+
+# 2. Per-chip prompt-throughput curve (VERDICT r4 #1). The pinned-chunk
+#    B=4 run first (4096-ray chunks = the measured-known-to-fit B=1
+#    program shape), then the ladder runs that probe bigger programs.
+run headline_b4_c4096 env BENCH_B=4 BENCH_CHUNK=4096 python bench.py
+run headline_b2 env BENCH_B=2 python bench.py
+run headline_b4 env BENCH_B=4 python bench.py
+
+# 3. Fresh B=1 headline at the 20-step window.
+run headline_b1 python bench.py
+
+# 4. Parity-option rows for the single-prompt workloads (reference
+#    semantics: no compaction, tcnn 16x2 slicing, trilinear).
+run parity env BENCH_COMPACT=0 BENCH_RESLICE=0 BENCH_PROP_LEVELS=0 \
+    BENCH_INTERP=Linear BENCH_RESULTS="$LOG/rows_parity" \
+    python scripts/bench_workloads.py sd_nerf mv_nerf
+
+echo "[measure_round5] done; summarize into BASELINE.md"

@@ -109,6 +109,27 @@ def test_C_epoch_mode_float_end():
     assert C(spec, 5, 99999) == pytest.approx(0.5)
 
 
+def test_C_epoch_mode_without_epoch_axis_raises():
+    # the trainer passes epoch=None when trainer.steps_per_epoch == 0;
+    # an epoch-mode schedule must raise instead of silently freezing at
+    # its start value (VERDICT r4 #8)
+    spec = [0, 1.0, 0.0, 10.0]
+    with pytest.raises(ValueError, match="steps_per_epoch"):
+        C(spec, None, 99999)
+    # step-mode schedules don't care about the missing axis
+    assert C([0, 1.0, 0.0, 100], None, 50) == pytest.approx(0.5)
+
+
+def test_trainer_epoch_axis_advances_epoch_schedules():
+    # with trainer.steps_per_epoch wired, epoch = step // steps_per_epoch
+    # drives float-end_step schedules (reference misc.py:84-95 semantics)
+    spec = [0, 1.0, 0.0, 10.0]
+    for step, steps_per_epoch, expect in [(0, 100, 1.0), (500, 100, 0.5),
+                                          (999, 100, 0.1), (5000, 100, 0.0)]:
+        epoch = step // steps_per_epoch
+        assert C(spec, epoch, step) == pytest.approx(expect)
+
+
 def test_C_multi_segment():
     # 0->100: 1->0.5 ; 100->200: 0.5->0.1
     spec = [0, 1.0, 0.5, 100, 0.1, 200]
