@@ -6,7 +6,8 @@ block_until_ready returns early) and prints one JSON line per row.
 
 Usage: python scripts/bench_workloads.py [row ...]
 Rows: sd_nerf sd_nerf_256 mv_nerf hyper_ingp conv3d conv3d_300k triplane
-(default: all, never-measured rows first).
+(default: all, never-measured rows first), plus eval_512 (512² eval-render
+rays/sec through make_eval_render; not in the default set).
 
 Resumable: each finished row is written to $BENCH_RESULTS/<row>.json
 (default outputs/_bench_rows). With BENCH_RESUME=1 rows that already have
@@ -263,6 +264,69 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
     }
 
 
+def bench_eval_512(n_frames: int, n_warmup: int):
+    """512² eval-render rays/sec through the chunked full-image eval path
+    (systems/base.py make_eval_render) on the north-star Hyper-iNGP
+    workload — refreshes the r2-era BASELINE.md microbench row."""
+    import contextlib
+
+    import jax
+    import numpy as np
+
+    cache_dir = os.environ.get("SDTPU_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/sdtpu_xla"))
+    with contextlib.suppress(Exception):
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    import scaledreamer_tpu as sd
+    from scaledreamer_tpu.core.config import load_config, parse_structured
+
+    sd.ensure_builtins()
+    res = int(os.environ.get("BENCH_EVAL_RES", "512"))
+    spec = WORKLOADS["hyper_ingp"]
+    cfg = load_config(spec["config"], cli_args=spec["overrides"] + [
+        f"data.eval_height={res}", f"data.eval_width={res}",
+    ], n_gpus=jax.device_count())
+    dm_cls = sd.find(cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, cfg.data), seed=0)
+    system_cls = sd.find(cfg.system_type)
+    system = system_cls(cfg=parse_structured(system_cls.Config, cfg.system))
+
+    rng = jax.random.PRNGKey(0)
+    dm.setup("fit")
+    dm.setup("validate")
+    system.on_fit_start(rng)
+    batch = system.prepare_batch(dm.train_batch())
+    state = system.init_state(jax.random.fold_in(rng, 1), batch)
+    render = system.make_eval_render(
+        chunk_rays=int(os.environ.get("BENCH_EVAL_CHUNK", "65536")))
+    ds = dm.val_dataset
+    it = iter(ds)
+
+    def one_frame():
+        b = system.prepare_batch(next(it))
+        out = render(state.params, b)
+        # anchor completion on a readback (relay block_until_ready no-op)
+        return float(np.asarray(out["comp_rgb"]).mean())
+
+    for _ in range(n_warmup):
+        one_frame()
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        one_frame()
+    elapsed = time.perf_counter() - t0
+    return {
+        "workload": "eval_512",
+        "config": spec["config"],
+        "frames_per_sec": round(n_frames / elapsed, 4),
+        "rays_per_sec": round(n_frames * res * res / elapsed, 1),
+        "resolution": res,
+        "frames_timed": n_frames,
+        "device": str(jax.devices()[0]),
+    }
+
+
 # queue order when no rows are given: never-measured rows first so a
 # timed-out queue still advances coverage (VERDICT r4 #3 — the conv3d
 # family ran last for three rounds and never produced a number)
@@ -288,7 +352,10 @@ def main():
                 results.append(prev)
                 continue
         try:
-            r = bench_one(name, n_steps, n_warmup)
+            if name == "eval_512":
+                r = bench_eval_512(max(4, n_steps // 4), 1)
+            else:
+                r = bench_one(name, n_steps, n_warmup)
         except Exception as e:  # keep going; report the failure
             r = {"workload": name, "error": f"{type(e).__name__}: {e}"[:300]}
         with open(row_path, "w") as f:
