@@ -78,7 +78,9 @@ WORKLOADS = {
     # reference configs/single-prompt_benchmark/asd_sd_nerf.yaml) — the
     # dominant-cost stage, never timed before r5 (VERDICT r4 missing #4).
     # 65536 rays/step: ray-chunked by default to fit 16 GB HBM
-    # (BENCH_CHUNK_256=0 to retry unchunked).
+    # (BENCH_CHUNK_256=0 to retry unchunked; 8192 failed the remote
+    # compile helper with HBM exhaustion in the r5 first pass — 4096 is
+    # the measured-known-to-fit B=1 64² program's chunk economics).
     "sd_nerf_256": dict(
         config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
         overrides=OFFLINE + SD_OFFLINE + [
@@ -88,7 +90,7 @@ WORKLOADS = {
             "data.width=256", "data.height=256", "data.batch_size=1",
             "data.resolution_milestones=[]",
             "system.renderer.train_chunk_size="
-            + os.environ.get("BENCH_CHUNK_256", "8192"),
+            + os.environ.get("BENCH_CHUNK_256", "4096"),
             "system.geometry.normal_type="
             + os.environ.get("BENCH_NORMALS", "analytic"),
             "system.geometry.pos_encoding_config.interpolation="

@@ -47,4 +47,15 @@ run parity env BENCH_COMPACT=0 BENCH_RESLICE=0 BENCH_PROP_LEVELS=0 \
     BENCH_INTERP=Linear BENCH_RESULTS="$LOG/rows_parity" \
     python scripts/bench_workloads.py sd_nerf mv_nerf
 
+# 5. 512² eval-render rays/sec (refreshes the r2-era microbench row).
+run eval_512 env BENCH_RESULTS="$LOG/rows" \
+    python scripts/bench_workloads.py eval_512
+
+# 6. Quality smoke to completion (dry/tiny mode; similarity.txt +
+#    recall.txt on record — VERDICT r4 missing #1). Serialized after the
+#    chip rows: this box has ONE CPU core and concurrent host work
+#    distorts the pipelined timing windows (measured: sd_nerf pipelined
+#    0.61 vs synced 0.83 while pytest ran at nice -19).
+run quality bash scripts/quality_smoke.sh
+
 echo "[measure_round5] done; summarize into BASELINE.md"

