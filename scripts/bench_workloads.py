@@ -77,12 +77,17 @@ WORKLOADS = {
     # 15k of its 25k steps here (resolution milestone at 10k,
     # reference configs/single-prompt_benchmark/asd_sd_nerf.yaml) — the
     # dominant-cost stage, never timed before r5 (VERDICT r4 missing #4).
-    # 65536 rays/step: ray-chunked by default to fit 16 GB HBM
-    # (BENCH_CHUNK_256=0 to retry unchunked; 8192 failed the remote
-    # compile helper with HBM exhaustion in the r5 first pass — 4096 is
-    # the measured-known-to-fit B=1 64² program's chunk economics).
+    # 65536 rays/step. Ray-chunked AND renderer-remat'ed by default:
+    # chunking via lax.map does NOT shrink the backward's residuals (scan
+    # saves the stacked per-chunk intermediates — 8192- and 4096-ray
+    # chunks both blew HBM in the r5 first passes), so this row re-enables
+    # the training-default whole-renderer jax.checkpoint that the other
+    # 64² rows turn off for speed (systems/base.py make_train_step).
+    # BENCH_REMAT_256=0 / BENCH_CHUNK_256=0 to probe without either.
     "sd_nerf_256": dict(
         config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
+        env={"SDTPU_REMAT_RENDERER":
+             os.environ.get("BENCH_REMAT_256", "1")},
         overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_sd_nerf_256",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
@@ -208,6 +213,10 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
 
     sd.ensure_builtins()
     spec = WORKLOADS[name]
+    # per-row env (consumed lazily, e.g. SDTPU_REMAT_RENDERER is read
+    # inside make_train_step) — set for this row only, restore after
+    saved_env = {k: os.environ.get(k) for k in spec.get("env", {})}
+    os.environ.update(spec.get("env", {}))
     cfg = load_config(spec["config"], cli_args=spec["overrides"],
                       n_gpus=jax.device_count())
     dm_cls = sd.find(cfg.data_type)
@@ -220,7 +229,9 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
     system.on_fit_start(rng)
     batch = system.prepare_batch(dm.train_batch())
     state = system.init_state(jax.random.fold_in(rng, 1), batch)
-    train_step = system.make_train_step()
+    train_step = system.make_train_step()  # consumes the per-row env
+    for k, v in saved_env.items():
+        os.environ.pop(k, None) if v is None else os.environ.update({k: v})
     occ_update = system.make_occgrid_update()
     gp = system.guidance_params
 
@@ -359,7 +370,7 @@ def main():
             else:
                 r = bench_one(name, n_steps, n_warmup)
         except Exception as e:  # keep going; report the failure
-            r = {"workload": name, "error": f"{type(e).__name__}: {e}"[:300]}
+            r = {"workload": name, "error": f"{type(e).__name__}: {e}"[:1500]}
         with open(row_path, "w") as f:
             json.dump(r, f)
         print(json.dumps(r), flush=True)
