@@ -245,6 +245,10 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
             state = occ_update(state, jax.random.fold_in(rng, 7000 + i))
         return train_step(state, gp, jb, scalars, jax.random.fold_in(rng, i))
 
+    # BENCH_PRINT_LOSS=1: per-step loss readback (diagnosis mode — the
+    # sync forced each step makes the pipelined timing meaningless)
+    print_loss = os.environ.get("BENCH_PRINT_LOSS") == "1"
+
     for i in range(n_warmup):
         state, metrics = run_step(state, i)
     float(np.asarray(metrics["loss"]))
@@ -254,6 +258,11 @@ def bench_one(name: str, n_steps: int, n_warmup: int):
     t0 = time.perf_counter()
     for i in range(n_warmup, n_warmup + n_steps):
         state, metrics = run_step(state, i)
+        if print_loss:
+            print(f"# {name} step {i}: " + " ".join(
+                f"{k}={float(np.asarray(v)):.4g}"
+                for k, v in sorted(metrics.items())
+                if getattr(v, 'ndim', 1) == 0), file=sys.stderr, flush=True)
     loss = float(np.asarray(metrics["loss"]))
     elapsed = time.perf_counter() - t0
 
