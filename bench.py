@@ -187,29 +187,39 @@ def main():
 
     # Fallback ladder (VERDICT r4 #9): start at the requested ray-chunk
     # (0 = unchunked), and on a compile/HBM failure retry with the ray
-    # dimension halved until the program fits. Each rung bounds the live
-    # point count (rays_per_chunk x samples) the hashgrid backward must
-    # hold; B=1 unchunked (4096 rays) is measured-known to fit, so the
-    # ladder ends at 4096 and below only for safety.
+    # dimension halved until the program fits. Pass 1 keeps the renderer
+    # remat OFF (the B=1 measured-fastest mode). Pass 2 retries the same
+    # rungs with the whole-renderer jax.checkpoint ON — lax.map chunking
+    # alone does NOT shrink the backward (scan saves the stacked per-chunk
+    # residuals; chunk=8192 and 4096 failed identically at 256² and B=4
+    # in r5), while remat bounds residuals at the chunk boundary, so
+    # chunk+remat is the rung that actually fits oversized programs.
     total_rays = batch_size * 64 * 64
-    ladder = [requested_chunk]
+    rungs = [requested_chunk]
     c = total_rays if requested_chunk == 0 else requested_chunk
     while c > 2048:
         c //= 2
-        ladder.append(c)
+        rungs.append(c)
+    base_remat = os.environ.get("SDTPU_REMAT_RENDERER", "0")
+    ladder = [(r, base_remat) for r in rungs]
+    if base_remat == "0":
+        ladder += [(r, "1") for r in rungs]
 
     built = None
     attempts = []
-    for rung in ladder:
+    for rung, remat in ladder:
+        os.environ["SDTPU_REMAT_RENDERER"] = remat
         try:
             built = _build_and_warmup(rung, n_warmup)
-            used_chunk = rung
+            used_chunk, used_remat = rung, remat
             break
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"
-            attempts.append({"chunk": rung, "error": msg[:300]})
-            print(f"bench: chunk={rung} failed ({msg[:200]}); "
-                  f"trying next rung", file=sys.stderr, flush=True)
+            attempts.append({"chunk": rung, "remat": remat,
+                             "error": msg[:300]})
+            print(f"bench: chunk={rung} remat={remat} failed "
+                  f"({msg[:200]}); trying next rung",
+                  file=sys.stderr, flush=True)
     if built is None:
         _emit_error("compile_failed_all_chunks", json.dumps(attempts))
         return 0
@@ -268,6 +278,7 @@ def main():
                 "dense_cell_packing": os.environ.get("BENCH_PACKING",
                                                      "true") == "true",
                 "train_chunk_size": used_chunk,
+                "remat_renderer": used_remat == "1",
                 "chunk_fallback_attempts": attempts,
                 "prop_encode_levels": int(
                     os.environ.get("BENCH_PROP_LEVELS", "3")),
