@@ -36,6 +36,13 @@ class PatchRenderer(nn.Module):
     material: nn.Module
     background: nn.Module
 
+    @property
+    def min_init_hw(self) -> int:
+        # param init (BaseSystem.init_rays) may spatially cap the rays;
+        # this renderer dynamic-slices a full patch out of them, so the
+        # init rays must be at least patch_size on each spatial axis
+        return self.cfg.patch_size
+
     def setup(self):
         base_cls = find(self.cfg.base_renderer_type)
         self.base_renderer = base_cls(

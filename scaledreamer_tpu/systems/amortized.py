@@ -114,9 +114,12 @@ class MultipromptRadianceFieldGeneratorSystem(BaseLift3DSystem):
         rngs = {"params": rng, "sampling": jax.random.fold_in(rng, 1),
                 "aug": jax.random.fold_in(rng, 2),
                 "noise": jax.random.fold_in(rng, 3)}
+        # spatially-capped init rays: flax init runs eagerly; see
+        # BaseSystem.init_rays (render_kwargs entries are batch-level —
+        # text_embed/noise — so only the rays need slicing)
+        init_o, init_d = self.init_rays(sample_batch, self.renderer)
         variables = self.renderer.init(
-            rngs, jnp.asarray(sample_batch["rays_o"]),
-            jnp.asarray(sample_batch["rays_d"]),
+            rngs, init_o, init_d,
             light_positions=jnp.asarray(sample_batch["light_positions"]),
             train=True, **{k: jnp.asarray(v) for k, v in
                            self.render_kwargs(sample_batch).items()})

@@ -161,6 +161,27 @@ class BaseLift3DSystem(BaseObject):
         return self.prompt_processor()
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def init_rays(sample_batch: Dict, renderer) -> tuple:
+        """Rays for flax param init, spatially capped.
+
+        `flax.linen.Module.init` runs the renderer forward EAGERLY
+        (unjitted, op-by-op): at the reference sd_nerf workload's 256²
+        stage (15k of 25k steps — reference
+        configs/single-prompt_benchmark/asd_sd_nerf.yaml resolution
+        milestone) the 65536-ray × 512-sample point set materializes
+        multi-GB per-op intermediates, and the 33.5M-row dense-table
+        gather crashes the TPU compile helper (r5 measured,
+        outputs/_measure_r5/). Param shapes never depend on the ray
+        count, so init uses a spatial slice capped at the 64² training
+        shape — or the renderer's declared minimum (`min_init_hw`, e.g.
+        the patch renderer must fit one full patch)."""
+        ro = jnp.asarray(sample_batch["rays_o"])
+        rd = jnp.asarray(sample_batch["rays_d"])
+        cap = max(64, int(getattr(renderer, "min_init_hw", 0) or 0))
+        ih, iw = min(ro.shape[1], cap), min(ro.shape[2], cap)
+        return ro[:, :ih, :iw], rd[:, :ih, :iw]
+
     def init_state(self, rng: jax.Array, sample_batch: Dict) -> TrainState:
         rngs = {"params": rng, "sampling": jax.random.fold_in(rng, 1),
                 "aug": jax.random.fold_in(rng, 2),
@@ -170,9 +191,9 @@ class BaseLift3DSystem(BaseObject):
             init_extra["mvp_mtx"] = jnp.asarray(sample_batch["mvp_mtx"])
             init_extra["camera_positions"] = jnp.asarray(
                 sample_batch["camera_positions"])
+        init_o, init_d = self.init_rays(sample_batch, self.renderer)
         variables = self.renderer.init(
-            rngs, jnp.asarray(sample_batch["rays_o"]),
-            jnp.asarray(sample_batch["rays_d"]),
+            rngs, init_o, init_d,
             light_positions=jnp.asarray(sample_batch["light_positions"]),
             train=True, **init_extra)
         params = variables["params"]

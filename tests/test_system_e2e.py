@@ -383,3 +383,61 @@ def test_limit_val_batches_truncates_orbit(smoke_run):
             os.path.join(trainer.save_dir, "val-skipped"))
     finally:
         trainer.cfg.limit_val_batches = None
+
+
+def test_init_rays_spatial_cap():
+    """Flax init runs the renderer forward eagerly (unjitted); at the
+    reference sd_nerf 256² stage that materializes multi-GB per-op
+    intermediates (reference configs/single-prompt_benchmark/
+    asd_sd_nerf.yaml trains 15k of 25k steps at 256²). Param shapes are
+    ray-count independent, so init_rays caps the spatial dims at 64 —
+    unless the renderer declares a larger minimum (patch renderer)."""
+    from scaledreamer_tpu.systems.base import BaseLift3DSystem
+
+    big = {"rays_o": np.zeros((2, 96, 96, 3), np.float32),
+           "rays_d": np.ones((2, 96, 96, 3), np.float32)}
+    ro, rd = BaseLift3DSystem.init_rays(big, renderer=object())
+    assert ro.shape == (2, 64, 64, 3) and rd.shape == (2, 64, 64, 3)
+
+    small = {"rays_o": np.zeros((1, 16, 16, 3), np.float32),
+             "rays_d": np.ones((1, 16, 16, 3), np.float32)}
+    ro, rd = BaseLift3DSystem.init_rays(small, renderer=object())
+    assert ro.shape == (1, 16, 16, 3)  # under the cap: untouched
+
+    class NeedsPatch:  # e.g. PatchRenderer must fit one full patch
+        min_init_hw = 80
+    ro, rd = BaseLift3DSystem.init_rays(big, renderer=NeedsPatch())
+    assert ro.shape == (2, 80, 80, 3)
+
+
+def test_init_state_resolution_invariant(tmp_path):
+    """init_state at 96² must produce the exact same param pytree shapes
+    as at 16² (the spatial cap slices the init rays; nothing in any
+    shipped renderer sizes params by ray count)."""
+    import jax
+
+    def build(width):
+        cfg_path = tmp_path / f"smoke_{width}.yaml"
+        cfg = dict(SMOKE_CONFIG)
+        cfg["exp_root_dir"] = str(tmp_path / f"outputs_{width}")
+        cfg["data"] = {**cfg["data"], "width": width, "height": width}
+        cfg["system"] = dict(cfg["system"])
+        cfg["system"]["prompt_processor"] = {
+            **cfg["system"]["prompt_processor"],
+            "cache_dir": str(tmp_path / f"cache_{width}")}
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(cfg, f)
+        exp_cfg = load_config(str(cfg_path), cli_args=[], n_gpus=1)
+        dm_cls = sd.find(exp_cfg.data_type)
+        dm = dm_cls(cfg=parse_structured(dm_cls.Config, exp_cfg.data), seed=0)
+        system_cls = sd.find(exp_cfg.system_type)
+        system = system_cls(
+            cfg=parse_structured(system_cls.Config, exp_cfg.system))
+        dm.setup("fit")
+        system.on_fit_start(jax.random.PRNGKey(0))
+        batch = system.prepare_batch(dm.train_batch())
+        return system.init_state(jax.random.PRNGKey(0), batch)
+
+    shapes_small = jax.tree.map(lambda x: x.shape, build(16).params)
+    shapes_big = jax.tree.map(lambda x: x.shape, build(96).params)
+    assert shapes_small == shapes_big
