@@ -77,17 +77,17 @@ WORKLOADS = {
     # 15k of its 25k steps here (resolution milestone at 10k,
     # reference configs/single-prompt_benchmark/asd_sd_nerf.yaml) — the
     # dominant-cost stage, never timed before r5 (VERDICT r4 missing #4).
-    # 65536 rays/step. Ray-chunked AND renderer-remat'ed by default:
-    # chunking via lax.map does NOT shrink the backward's residuals (scan
-    # saves the stacked per-chunk intermediates — 8192- and 4096-ray
-    # chunks both blew HBM in the r5 first passes), so this row re-enables
-    # the training-default whole-renderer jax.checkpoint that the other
-    # 64² rows turn off for speed (systems/base.py make_train_step).
-    # BENCH_REMAT_256=0 / BENCH_CHUNK_256=0 to probe without either.
+    # 65536 rays/step, ray-chunk 4096, renderer remat OFF (r5 measured:
+    # 0.064 it/s no-remat vs 0.0404 remat'd at the same chunk; chunk
+    # 8192 exhausts HBM planning). NOTE every earlier "256² doesn't
+    # fit" compile crash was the EAGER flax-init bug — the unjitted
+    # init materialized the full 33.5M-point encode op-by-op — fixed by
+    # BaseLift3DSystem.init_rays' 64² cap, NOT by remat/chunk choices.
+    # BENCH_REMAT_256=1 / BENCH_CHUNK_256=N to probe variants.
     "sd_nerf_256": dict(
         config="configs/single-prompt_benchmark/asd_sd_nerf.yaml",
         env={"SDTPU_REMAT_RENDERER":
-             os.environ.get("BENCH_REMAT_256", "1")},
+             os.environ.get("BENCH_REMAT_256", "0")},
         overrides=OFFLINE + SD_OFFLINE + [
             "tag=bench_sd_nerf_256",
             "system.prompt_processor.pretrained_model_name_or_path=__offline__",
