@@ -36,8 +36,15 @@ COMMON = [
     "use_timestamp=false",
     "tag=e2e",
     "data.width=32", "data.height=32",
-    "system.guidance.unet_block_channels=[16,16,16,16]",
-    "system.guidance.vae_block_channels=[16,16,16,16]",
+    # --train runs the post-fit test orbit too (reference behavior);
+    # default is 120 views/prompt at full eval res — shrink it or the
+    # orbit render dwarfs the 2-step train on one CPU core
+    "data.eval_height=32", "data.eval_width=32",
+    "data.n_test_views=2", "data.n_val_views=2",
+    # 32 = the UNet's GroupNorm group count (the smallest block width a
+    # structurally-real tiny UNet admits; the quality smoke uses the same)
+    "system.guidance.unet_block_channels=[32,32,32,32]",
+    "system.guidance.vae_block_channels=[32,32,32,32]",
     "system.guidance.image_size=64",
     "system.guidance.latent_size=8",
 ]
@@ -56,6 +63,23 @@ SHRINK_SAMPLES = ["system.renderer.num_samples_per_ray=32"]
 SHRINK_IMPORTANCE = ["system.renderer.num_samples_per_ray=16",
                      "system.renderer.num_samples_per_ray_importance=16"]
 SHRINK_HASH = ["system.geometry.pos_encoding_config.log2_hashmap_size=12"]
+# generator shrinks: the matrix validates the LAUNCH PATH, not model scale
+# (a full-width triplane transformer / 128³ conv pyramid takes >40 min for
+# 2 steps on this box's single CPU core). condition_dim/c_dim stay at 1024
+# = the text-embedding width the prompt processor feeds.
+SHRINK_TRIPLANE = [
+    "system.geometry.space_generator_config.inner_dim=128",
+    "system.geometry.space_generator_config.num_layers=2",
+    "system.geometry.space_generator_config.num_heads=4",
+    "system.geometry.space_generator_config.triplane_low_res=8",
+    "system.geometry.space_generator_config.triplane_high_res=16",
+    "system.geometry.space_generator_config.triplane_dim=16",
+]
+SHRINK_CONV3D = [
+    "system.geometry.space_generator_config.img_resolution=32",
+    "system.geometry.space_generator_config.w_dim=64",
+    "system.initialize_shape=false",  # skip the 1000-step sphere pre-fit
+]
 
 MATRIX = {
     "single-prompt_benchmark/asd_sd_nerf.yaml":
@@ -69,17 +93,17 @@ MATRIX = {
     "multi-prompt_benchmark/asd_sd_hyper_iNGP_50k_tpu.yaml":
         SD_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_HASH,
     "multi-prompt_benchmark/asd_sd_3dconv_net_50k.yaml":
-        SD_G + LIBRARY + SHRINK_IMPORTANCE,
+        SD_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_CONV3D,
     "multi-prompt_benchmark/asd_sd_3dconv_net_100k.yaml":
-        SD_G + LIBRARY + SHRINK_IMPORTANCE,
+        SD_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_CONV3D,
     # the CP100k corpus json is a missing blob in the reference too;
     # magic3d_15 stands in (same pipeline, different rows)
     "multi-prompt_benchmark/asd_sd_3dconv_net_300k.yaml":
-        SD_G + LIBRARY + SHRINK_IMPORTANCE,
+        SD_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_CONV3D,
     "multi-prompt_benchmark/asd_mv_triplane_transformer_10k.yaml":
-        MV_G + LIBRARY + SHRINK_IMPORTANCE,
+        MV_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_TRIPLANE,
     "multi-prompt_benchmark/asd_mv_triplane_transformer_10k_1GPU.yaml":
-        MV_G + LIBRARY + SHRINK_IMPORTANCE,
+        MV_G + LIBRARY + SHRINK_IMPORTANCE + SHRINK_TRIPLANE,
 }
 
 
