@@ -115,6 +115,12 @@ def test_benchmark_config_trains_e2e(config, tmp_path):
         os.environ,
         JAX_PLATFORMS="cpu",
         PALLAS_AXON_POOL_IPS="",   # never touch the TPU tunnel from tests
+        # conftest.py exports --xla_force_host_platform_device_count=8 for
+        # the in-process sharding tests; inheriting it here makes the
+        # subprocess tiny-train run 8 virtual devices on one core (8× the
+        # buffers — 48 GB RSS observed on the conv3d rows — and a 10×
+        # slower compile+step). The CLI user path is single-device.
+        XLA_FLAGS="",
         SDTPU_COMPILE_CACHE=os.environ.get(
             "SDTPU_COMPILE_CACHE",
             os.path.expanduser("~/.cache/sdtpu_xla")),
