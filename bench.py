@@ -302,7 +302,59 @@ def main():
     return 0
 
 
+def _watchdog_run() -> int:
+    """Run the measurement in a BOUNDED child process, retrying once.
+
+    A stalled axon remote-compile RPC hangs the in-process build forever
+    with a healthy tunnel (observed r5: 30+ min at <4% CPU on a program
+    that compiles in ~5 min; an immediate fresh process succeeded). The
+    backend probe can't catch this — it only covers client init — so the
+    measurement itself gets a wall-clock bound and one fresh-process
+    retry, then a structured-error JSON line.
+    """
+    attempt_timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "1800"))
+    env = dict(os.environ, BENCH_INNER="1")
+    notes = []
+    for attempt in range(2):
+        try:
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=attempt_timeout,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired as e:
+            tail = ((e.stderr if isinstance(e.stderr, str) else
+                     (e.stderr or b"").decode("utf-8", "replace"))
+                    or "")[-300:]
+            notes.append(f"attempt {attempt + 1}: timed out after "
+                         f"{attempt_timeout:.0f}s (stderr tail: {tail!r})")
+            print(f"bench: {notes[-1]}; "
+                  + ("retrying in a fresh process" if attempt == 0
+                     else "giving up"),
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(p.stderr or "")
+        if '"metric"' in (p.stdout or ""):
+            sys.stdout.write(p.stdout)
+            sys.stdout.flush()
+            return 0
+        notes.append(f"attempt {attempt + 1}: child rc={p.returncode} "
+                     f"with no JSON line (stdout tail: "
+                     f"{(p.stdout or '')[-200:]!r})")
+        print(f"bench: {notes[-1]}", file=sys.stderr, flush=True)
+    _emit_error("measurement_stalled", "; ".join(notes))
+    return 0
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_INNER") == "1":
+        # we are the watchdog's child: measure in-process (probe already
+        # passed in the parent)
+        try:
+            sys.exit(main())
+        except Exception as e:  # structured error beats a raw traceback
+            import traceback
+            traceback.print_exc()
+            _emit_error(type(e).__name__, str(e))
+            sys.exit(0)
     # Probe the backend OUT OF PROCESS first: a dead axon tunnel hangs the
     # in-process client init with no exception to catch. One bounded retry
     # with backoff, then a structured-error JSON line (never a raw
@@ -334,10 +386,4 @@ if __name__ == "__main__":
         sys.exit(0)
     print(f"bench: backend probe OK, platform={platform}",
           file=sys.stderr, flush=True)
-    try:
-        sys.exit(main())
-    except Exception as e:  # structured error beats a raw traceback
-        import traceback
-        traceback.print_exc()
-        _emit_error(type(e).__name__, str(e))
-        sys.exit(0)
+    sys.exit(_watchdog_run())
